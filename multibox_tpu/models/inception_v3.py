@@ -1,0 +1,293 @@
+"""Inception-v3 backbone in flax (NHWC, TPU-first).
+
+Re-implementation of the architecture of Szegedy et al., "Rethinking the
+Inception Architecture for Computer Vision" (arXiv:1512.00567), matching the
+tf-slim ``inception_v3_base`` topology the reference uses as its backbone
+(ref:model.py → slim ``nets.inception_v3`` per SURVEY.md §2 C4) so that
+ImageNet checkpoints trained with slim can be imported name-by-name
+(``multibox_tpu.models.tf_import``).
+
+TPU-first choices:
+- NHWC layout throughout (XLA:TPU's native conv layout).
+- Separate ``compute_dtype`` (bfloat16 by default — MXU-friendly) from
+  parameter dtype (float32). Casting happens at module boundaries; XLA
+  fuses the casts into the convs.
+- BatchNorm uses slim's conventions (eps 1e-3, no scale γ) so imported
+  moving statistics line up bit-for-bit.
+- Static shapes; no python control flow on traced values.
+
+Module/parameter naming deliberately mirrors slim scopes
+(``Conv2d_1a_3x3``, ``Mixed_5b/Branch_0/Conv2d_0a_1x1``...) to make the
+checkpoint import a pure name-mapping exercise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Endpoints exposed to detection heads, in forward order.
+ENDPOINTS = (
+    "Conv2d_1a_3x3",
+    "Conv2d_2a_3x3",
+    "Conv2d_2b_3x3",
+    "MaxPool_3a_3x3",
+    "Conv2d_3b_1x1",
+    "Conv2d_4a_3x3",
+    "MaxPool_5a_3x3",
+    "Mixed_5b",
+    "Mixed_5c",
+    "Mixed_5d",
+    "Mixed_6a",
+    "Mixed_6b",
+    "Mixed_6c",
+    "Mixed_6d",
+    "Mixed_6e",
+    "Mixed_7a",
+    "Mixed_7b",
+    "Mixed_7c",
+)
+
+
+class ConvBN(nn.Module):
+    """slim-style conv unit: Conv(no bias) → BatchNorm(no γ) → ReLU."""
+
+    features: int
+    kernel: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: str = "SAME"
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            use_bias=False,
+            dtype=self.compute_dtype,
+            name="Conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9997,
+            epsilon=1e-3,
+            use_scale=False,  # slim default: γ fixed at 1
+            dtype=self.compute_dtype,
+            name="BatchNorm",
+        )(x)
+        return nn.relu(x)
+
+
+def _max_pool(x, window, strides, padding="VALID"):
+    return nn.max_pool(x, (window, window), (strides, strides), padding)
+
+
+def _avg_pool_3x3_same(x):
+    # count_include_pad=False: divide by the number of valid elements in the
+    # window (TF semantics) — with the default the border pixels differ and
+    # checkpoint-parity breaks.
+    return nn.avg_pool(x, (3, 3), (1, 1), "SAME", count_include_pad=False)
+
+
+class InceptionA(nn.Module):
+    """35×35 Inception block (Mixed_5b/5c/5d): 1x1 / 5x5 / double-3x3 / pool."""
+
+    pool_features: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        b0 = ConvBN(64, (1, 1), compute_dtype=dt, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(48, (1, 1), compute_dtype=dt, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(64, (5, 5), compute_dtype=dt, name="Branch_1/Conv2d_0b_5x5")(b1, train)
+        b2 = ConvBN(64, (1, 1), compute_dtype=dt, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(96, (3, 3), compute_dtype=dt, name="Branch_2/Conv2d_0b_3x3")(b2, train)
+        b2 = ConvBN(96, (3, 3), compute_dtype=dt, name="Branch_2/Conv2d_0c_3x3")(b2, train)
+        b3 = _avg_pool_3x3_same(x)
+        b3 = ConvBN(
+            self.pool_features, (1, 1), compute_dtype=dt, name="Branch_3/Conv2d_0b_1x1"
+        )(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class ReductionA(nn.Module):
+    """35→17 grid reduction (Mixed_6a)."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        b0 = ConvBN(
+            384, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
+            name="Branch_0/Conv2d_1a_1x1",
+        )(x, train)
+        b1 = ConvBN(64, (1, 1), compute_dtype=dt, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(96, (3, 3), compute_dtype=dt, name="Branch_1/Conv2d_0b_3x3")(b1, train)
+        b1 = ConvBN(
+            96, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
+            name="Branch_1/Conv2d_1a_1x1",
+        )(b1, train)
+        b2 = _max_pool(x, 3, 2)
+        return jnp.concatenate([b0, b1, b2], axis=-1)
+
+
+class InceptionB(nn.Module):
+    """17×17 Inception block (Mixed_6b..6e): factorized 7×7 convolutions."""
+
+    channels_7x7: int
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        c7 = self.channels_7x7
+        b0 = ConvBN(192, (1, 1), compute_dtype=dt, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(c7, (1, 1), compute_dtype=dt, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(c7, (1, 7), compute_dtype=dt, name="Branch_1/Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(192, (7, 1), compute_dtype=dt, name="Branch_1/Conv2d_0c_7x1")(b1, train)
+        b2 = ConvBN(c7, (1, 1), compute_dtype=dt, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, name="Branch_2/Conv2d_0b_7x1")(b2, train)
+        b2 = ConvBN(c7, (1, 7), compute_dtype=dt, name="Branch_2/Conv2d_0c_1x7")(b2, train)
+        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, name="Branch_2/Conv2d_0d_7x1")(b2, train)
+        b2 = ConvBN(192, (1, 7), compute_dtype=dt, name="Branch_2/Conv2d_0e_1x7")(b2, train)
+        b3 = _avg_pool_3x3_same(x)
+        b3 = ConvBN(192, (1, 1), compute_dtype=dt, name="Branch_3/Conv2d_0b_1x1")(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class ReductionB(nn.Module):
+    """17→8 grid reduction (Mixed_7a)."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        b0 = ConvBN(192, (1, 1), compute_dtype=dt, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b0 = ConvBN(
+            320, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
+            name="Branch_0/Conv2d_1a_3x3",
+        )(b0, train)
+        b1 = ConvBN(192, (1, 1), compute_dtype=dt, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(192, (1, 7), compute_dtype=dt, name="Branch_1/Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(192, (7, 1), compute_dtype=dt, name="Branch_1/Conv2d_0c_7x1")(b1, train)
+        b1 = ConvBN(
+            192, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
+            name="Branch_1/Conv2d_1a_3x3",
+        )(b1, train)
+        b2 = _max_pool(x, 3, 2)
+        return jnp.concatenate([b0, b1, b2], axis=-1)
+
+
+class InceptionC(nn.Module):
+    """8×8 Inception block (Mixed_7b/7c): expanded-filter-bank outputs."""
+
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        b0 = ConvBN(320, (1, 1), compute_dtype=dt, name="Branch_0/Conv2d_0a_1x1")(x, train)
+
+        b1 = ConvBN(384, (1, 1), compute_dtype=dt, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1a = ConvBN(384, (1, 3), compute_dtype=dt, name="Branch_1/Conv2d_0b_1x3")(b1, train)
+        b1b = ConvBN(384, (3, 1), compute_dtype=dt, name="Branch_1/Conv2d_0b_3x1")(b1, train)
+        b1 = jnp.concatenate([b1a, b1b], axis=-1)
+
+        b2 = ConvBN(448, (1, 1), compute_dtype=dt, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(384, (3, 3), compute_dtype=dt, name="Branch_2/Conv2d_0b_3x3")(b2, train)
+        b2a = ConvBN(384, (1, 3), compute_dtype=dt, name="Branch_2/Conv2d_0c_1x3")(b2, train)
+        b2b = ConvBN(384, (3, 1), compute_dtype=dt, name="Branch_2/Conv2d_0d_3x1")(b2, train)
+        b2 = jnp.concatenate([b2a, b2b], axis=-1)
+
+        b3 = _avg_pool_3x3_same(x)
+        b3 = ConvBN(192, (1, 1), compute_dtype=dt, name="Branch_3/Conv2d_0b_1x1")(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Inception-v3 feature extractor returning named endpoints.
+
+    Input: ``[B, 299, 299, 3]`` float, scaled to ``[-1, 1]`` (slim
+    convention ``(x/255 − 0.5)×2``; the input pipeline handles scaling).
+    Output: dict of endpoint name → feature map; ``Mixed_7c`` is
+    ``[B, 8, 8, 2048]``.
+    """
+
+    compute_dtype: Any = jnp.bfloat16
+    final_endpoint: str = "Mixed_7c"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.compute_dtype
+        x = x.astype(dt)
+        eps: Dict[str, jnp.ndarray] = {}
+
+        def done(name):
+            return name == self.final_endpoint
+
+        # Stem: 299×299×3 → 35×35×192
+        x = ConvBN(32, (3, 3), (2, 2), "VALID", dt, name="Conv2d_1a_3x3")(x, train)
+        eps["Conv2d_1a_3x3"] = x
+        if done("Conv2d_1a_3x3"):
+            return eps
+        x = ConvBN(32, (3, 3), padding="VALID", compute_dtype=dt, name="Conv2d_2a_3x3")(x, train)
+        eps["Conv2d_2a_3x3"] = x
+        x = ConvBN(64, (3, 3), compute_dtype=dt, name="Conv2d_2b_3x3")(x, train)
+        eps["Conv2d_2b_3x3"] = x
+        x = _max_pool(x, 3, 2)
+        eps["MaxPool_3a_3x3"] = x
+        x = ConvBN(80, (1, 1), padding="VALID", compute_dtype=dt, name="Conv2d_3b_1x1")(x, train)
+        eps["Conv2d_3b_1x1"] = x
+        x = ConvBN(192, (3, 3), padding="VALID", compute_dtype=dt, name="Conv2d_4a_3x3")(x, train)
+        eps["Conv2d_4a_3x3"] = x
+        x = _max_pool(x, 3, 2)
+        eps["MaxPool_5a_3x3"] = x
+
+        # 35×35 blocks
+        for name, pool_features in (
+            ("Mixed_5b", 32),
+            ("Mixed_5c", 64),
+            ("Mixed_5d", 64),
+        ):
+            x = InceptionA(pool_features, compute_dtype=dt, name=name)(x, train)
+            eps[name] = x
+            if done(name):
+                return eps
+
+        x = ReductionA(compute_dtype=dt, name="Mixed_6a")(x, train)
+        eps["Mixed_6a"] = x
+
+        # 17×17 blocks
+        for name, c7 in (
+            ("Mixed_6b", 128),
+            ("Mixed_6c", 160),
+            ("Mixed_6d", 160),
+            ("Mixed_6e", 192),
+        ):
+            x = InceptionB(c7, compute_dtype=dt, name=name)(x, train)
+            eps[name] = x
+            if done(name):
+                return eps
+
+        x = ReductionB(compute_dtype=dt, name="Mixed_7a")(x, train)
+        eps["Mixed_7a"] = x
+
+        # 8×8 blocks
+        for name in ("Mixed_7b", "Mixed_7c"):
+            x = InceptionC(compute_dtype=dt, name=name)(x, train)
+            eps[name] = x
+            if done(name):
+                return eps
+        return eps
+
+
+def preprocess_slim(images_uint8: jnp.ndarray) -> jnp.ndarray:
+    """slim input scaling: uint8 [0,255] → float [−1, 1]."""
+    return (images_uint8.astype(jnp.float32) / 255.0 - 0.5) * 2.0
