@@ -1,0 +1,115 @@
+"""Headline benchmark: images/sec/chip at batch-32 detect (BASELINE.json).
+
+Measures the full jitted detect pipeline (Inception-v3 bf16 forward +
+decode + NMS top-k, all on-device) on the real TPU, plus p50 single-image
+latency; compares against a TF-CPU Inception-v3 forward measured in the
+same process (the reference stack is TF-CPU per BASELINE.json — the
+reference repo publishes no numbers and the mount is empty, so the TF-CPU
+forward pass is the fairest measurable stand-in).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Extra detail goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu_detect(batch=32, iters=20, priors_count=256):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multibox_tpu.config import Config
+    from multibox_tpu.inference import build_model, make_detect_fn
+
+    log("devices:", jax.devices())
+    cfg = Config(num_priors=priors_count, max_detections=100)
+    rng = np.random.default_rng(0)
+    priors = np.sort(
+        rng.uniform(0, 1, (priors_count, 2, 2)).astype(np.float32), axis=1
+    ).reshape(priors_count, 4)
+
+    model = build_model(cfg, priors_count)
+    images = jnp.asarray(
+        rng.uniform(-1, 1, (batch, 299, 299, 3)).astype(np.float32)
+    )
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), images[:1]))()
+    detect = make_detect_fn(cfg, priors, use_ema=False)
+
+    # Warmup / compile.
+    out = jax.block_until_ready(detect(variables, images))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"TPU detect: batch={batch} iters={iters} time={dt:.3f}s -> {ips:.1f} img/s")
+
+    # p50 single-image latency.
+    one = images[:1]
+    lat = []
+    jax.block_until_ready(detect(variables, one))  # compile batch-1
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(detect(variables, one))
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.median(lat) * 1e3)
+    log(f"TPU p50 single-image detect latency: {p50:.2f} ms")
+    return ips, p50
+
+
+def bench_tf_cpu(batch=32, iters=3):
+    """TF-CPU Inception-v3 forward — the reference's compute substrate."""
+    try:
+        import tensorflow as tf
+    except Exception as e:  # pragma: no cover
+        log("tensorflow unavailable for baseline:", e)
+        return None
+    tf.config.set_visible_devices([], "GPU")
+    model = tf.keras.applications.InceptionV3(
+        weights=None, include_top=False, input_shape=(299, 299, 3)
+    )
+    x = np.random.default_rng(0).uniform(-1, 1, (batch, 299, 299, 3)).astype(
+        np.float32
+    )
+    model(x, training=False)  # warmup/trace
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        model(x, training=False)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"TF-CPU inception fwd: batch={batch} iters={iters} -> {ips:.1f} img/s")
+    return ips
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    tpu_ips, p50 = bench_tpu_detect(batch=batch)
+    tf_ips = bench_tf_cpu(batch=batch)
+    vs = (tpu_ips / tf_ips) if tf_ips else None
+    log(f"p50_latency_ms={p50}")
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_batch32_detect",
+                "value": round(tpu_ips, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Configuration: typed dataclass + reference-compatible YAML loading.
+
+The reference uses YAML → easydict with UPPER_CASE keys (ref:config.py,
+SURVEY.md §2 C1). We keep that YAML surface — a reference config file ports
+mechanically — on top of a typed dataclass with snake_case fields.
+Unknown keys warn instead of failing so older configs load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import yaml
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class Config:
+    # --- model ---
+    input_size: int = 299
+    num_priors: int = 256
+    head_type: str = "multibox"  # "multibox" | "ssd"
+    num_classes: int = 1
+    bottleneck_features: int = 96
+    ssd_endpoints: Sequence[str] = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
+    ssd_priors_per_cell: int = 6
+    box_encoding: str = "multibox"  # "multibox" (residual) | "ssd"
+    compute_dtype: str = "bfloat16"
+
+    # --- training ---
+    batch_size: int = 32
+    max_num_bboxes: int = 16
+    location_loss_alpha: float = 1.0  # α weight on the location loss
+    matching: str = "greedy"  # "greedy" | "hungarian"
+    hybrid_conf_weight: float = 0.0  # >0 → loss-aware (hybrid) matching
+    hard_negative_ratio: float = 3.0  # negatives per positive; 0 → all
+    initial_learning_rate: float = 0.01
+    learning_rate_decay_factor: float = 0.94
+    num_epochs_per_decay: float = 4.0
+    num_train_examples: int = 5000
+    rmsprop_decay: float = 0.9
+    rmsprop_epsilon: float = 1.0
+    rmsprop_momentum: float = 0.9
+    moving_average_decay: float = 0.9999
+    max_number_of_steps: int = 100000
+    save_every_steps: int = 1000
+    log_every_steps: int = 100
+    keep_checkpoints: int = 3
+    seed: int = 0
+
+    # --- augmentation (train input pipeline) ---
+    augment: bool = True
+    random_flip: bool = True
+    random_crop: bool = True
+    crop_min_object_covered: float = 0.7
+    crop_min_area: float = 0.5
+    crop_max_area: float = 1.0
+    color_distort: bool = True
+    brightness_max_delta: float = 0.125
+    contrast_range: Sequence[float] = (0.5, 1.5)
+
+    # --- detection / NMS ---
+    detect_score_threshold: float = 0.01
+    nms_iou_threshold: float = 0.5
+    max_detections: int = 100
+    use_ema_for_detect: bool = True
+
+    # --- parallel ---
+    data_axis: str = "data"
+
+    # --- ops backend ---
+    use_pallas: bool = False  # route NMS/matching to Pallas TPU kernels
+
+
+# Reference-era UPPER_CASE YAML key → dataclass field.
+_KEY_ALIASES = {
+    "INPUT_SIZE": "input_size",
+    "IMAGE_SIZE": "input_size",
+    "NUM_PRIORS": "num_priors",
+    "BATCH_SIZE": "batch_size",
+    "MAX_NUM_BBOXES": "max_num_bboxes",
+    "LOCATION_LOSS_ALPHA": "location_loss_alpha",
+    "INITIAL_LEARNING_RATE": "initial_learning_rate",
+    "LEARNING_RATE_DECAY_FACTOR": "learning_rate_decay_factor",
+    "NUM_EPOCHS_PER_DECAY": "num_epochs_per_decay",
+    "NUM_TRAIN_EXAMPLES": "num_train_examples",
+    "RMSPROP_DECAY": "rmsprop_decay",
+    "RMSPROP_EPSILON": "rmsprop_epsilon",
+    "RMSPROP_MOMENTUM": "rmsprop_momentum",
+    "MOVING_AVERAGE_DECAY": "moving_average_decay",
+    "MAX_NUMBER_OF_STEPS": "max_number_of_steps",
+    "NUM_STEPS": "max_number_of_steps",
+    "RANDOM_FLIP": "random_flip",
+    "RANDOM_CROP": "random_crop",
+    "COLOR_DISTORT": "color_distort",
+    "AUGMENT": "augment",
+    "DETECT_SCORE_THRESHOLD": "detect_score_threshold",
+    "CONFIDENCE_THRESHOLD": "detect_score_threshold",
+    "NMS_IOU_THRESHOLD": "nms_iou_threshold",
+    "MAX_DETECTIONS": "max_detections",
+    "SEED": "seed",
+}
+
+_FIELDS = {f.name for f in dataclasses.fields(Config)}
+
+
+def parse_config_file(path: str) -> Config:
+    """Load a YAML config; accepts both snake_case and the reference's
+    UPPER_CASE keys. The reference API name is kept (SURVEY.md §1)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return parse_config_dict(raw)
+
+
+def parse_config_dict(raw: dict) -> Config:
+    kwargs = {}
+    for key, value in raw.items():
+        name = _KEY_ALIASES.get(key, key.lower() if key.isupper() else key)
+        if name in _FIELDS:
+            kwargs[name] = value
+        else:
+            log.warning("ignoring unknown config key: %s", key)
+    return Config(**kwargs)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=True)

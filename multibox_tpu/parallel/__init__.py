@@ -1,0 +1,15 @@
+"""Parallelism: device mesh + shardings for data-parallel training."""
+
+from multibox_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    make_parallel_train_step,
+    replicate_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "make_parallel_train_step",
+    "replicate_state",
+]

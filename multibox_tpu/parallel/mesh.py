@@ -1,0 +1,67 @@
+"""Device mesh + sharding for data-parallel training over ICI.
+
+The reference is single-process/single-device (SURVEY.md §2.3); scaling is
+a rebuild-side requirement (BASELINE.json configs[4]: "Data-parallel COCO
+training on a v4-8 mesh ... all-reduce over ICI").
+
+Design: a 1-axis ``data`` mesh. The train state is replicated; each batch
+is sharded on its leading axis. The train step itself is the plain
+single-device function from ``train.state`` — jit with these shardings and
+XLA inserts the gradient all-reduce (psum) over ICI automatically. No
+hand-written collectives, no per-device code: the idiomatic
+jax.sharding/pjit formulation of what torch/TF frameworks do with
+NCCL/Horovod wrappers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over all (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put a host batch with its leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate the train state across the mesh."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
+    """jit the single-device train step over the mesh.
+
+    State: replicated. Batch: sharded on the leading (batch) axis. Output
+    state/metrics: replicated. With these in/out shardings XLA compiles the
+    backward pass with a gradient all-reduce over ICI — the psum is derived,
+    not hand-written.
+    """
+    state_s = replicated(mesh)
+    batch_s = batch_sharding(mesh, axis)
+    return jax.jit(
+        train_step,
+        in_shardings=(state_s, batch_s),
+        out_shardings=(state_s, state_s),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,132 @@
+"""MultiBox loss: matching + location L2 + confidence BCE + hard negatives.
+
+Implements the training objective of Erhan et al. (arXiv:1312.2249 eq.1–3)
+with the prior-matching formulation of Szegedy et al. (arXiv:1412.1441 §2),
+replacing the reference's ``add_loss`` + host-side Hungarian
+(ref:loss.py / SURVEY.md §2 C6–C7) with a single on-device computation:
+
+  F_loc  = ½ Σ_matched ‖l_pred − l_target‖²        (l_target = g − prior)
+  F_conf = − Σ_matched log σ(c) − Σ_selected-neg log(1 − σ(c))
+  F      = F_conf + α · F_loc
+
+Both terms are normalized by the number of matched priors across the batch
+(SSD convention — keeps gradient scale independent of object count).
+
+Hard-negative mining (BASELINE.json configs[2]): per image, only the
+``ratio × num_pos`` highest-loss negatives contribute to F_conf, selected
+by rank inside the jitted program (no dynamic shapes).
+
+Matching runs per-image under vmap; gradients do NOT flow through the
+assignment (stop-gradient semantics arise naturally since the assignment is
+integer-valued), matching the reference where matching happened in numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multibox_tpu.ops import matching as matching_ops
+
+
+def multibox_loss(
+    loc_preds: jnp.ndarray,
+    conf_logits: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    num_gt: jnp.ndarray,
+    priors: jnp.ndarray,
+    alpha: float = 1.0,
+    matching: str = "greedy",
+    hybrid_conf_weight: float = 0.0,
+    hard_negative_ratio: float = 3.0,
+    encode: str = "multibox",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Batched MultiBox loss.
+
+    Args:
+      loc_preds: ``[B, P, 4]`` predicted offsets.
+      conf_logits: ``[B, P]`` confidence logits (class-agnostic).
+      gt_boxes: ``[B, G, 4]`` normalized corner boxes (padded).
+      num_gt: ``[B]`` valid gt count per image.
+      priors: ``[P, 4]``.
+      alpha: location-loss weight (reference ``LOCATION_LOSS_ALPHA``).
+      matching: "greedy" | "hungarian".
+      hybrid_conf_weight: >0 → loss-aware matching (1412.1441 §2.1).
+      hard_negative_ratio: negatives kept per positive (0 → keep all).
+      encode: target encoding ("multibox" residual | "ssd").
+
+    Returns (total_loss scalar, metrics dict).
+    """
+    B, P = conf_logits.shape
+
+    def match_one(gt, n, conf, loc):
+        return matching_ops.match_priors(
+            gt,
+            n,
+            priors,
+            conf_logits=jax.lax.stop_gradient(conf),
+            loc_preds=jax.lax.stop_gradient(loc),
+            method=matching,
+            conf_weight=hybrid_conf_weight,
+            alpha=alpha,
+            encode=encode,
+        )
+
+    _, conf_t, loc_t, matched = jax.vmap(match_one)(
+        gt_boxes, num_gt, conf_logits, loc_preds
+    )
+    # conf_t/loc_t are targets — constants w.r.t. the params.
+    conf_t = jax.lax.stop_gradient(conf_t)  # [B, P]
+    loc_t = jax.lax.stop_gradient(loc_t)  # [B, P, 4]
+
+    num_pos = jnp.sum(conf_t, axis=1)  # [B]
+    total_pos = jnp.maximum(jnp.sum(num_pos), 1.0)
+
+    # Location loss over matched priors only.
+    sq = jnp.sum((loc_preds - loc_t) ** 2, axis=-1)  # [B, P]
+    loc_loss = 0.5 * jnp.sum(sq * conf_t) / total_pos
+
+    # Confidence BCE (numerically stable form).
+    bce = optax_sigmoid_bce(conf_logits, conf_t)  # [B, P]
+
+    pos_loss = jnp.sum(bce * conf_t) / total_pos
+
+    neg_mask = 1.0 - conf_t
+    if hard_negative_ratio and hard_negative_ratio > 0:
+        # Per image: keep the ratio·num_pos highest-loss negatives (at least
+        # 1 so images with zero gt still push background down).
+        neg_scores = bce * neg_mask  # [B, P]
+        k = jnp.minimum(
+            jnp.maximum(hard_negative_ratio * num_pos, 1.0), P - num_pos
+        )  # [B] dynamic per image
+        # Rank negatives by loss descending; keep rank < k.
+        order = jnp.argsort(-neg_scores, axis=1)
+        ranks = jnp.zeros_like(order).at[
+            jnp.arange(B)[:, None], order
+        ].set(jnp.broadcast_to(jnp.arange(P)[None, :], (B, P)))
+        keep = (ranks < k[:, None]).astype(bce.dtype) * neg_mask
+    else:
+        keep = neg_mask
+    neg_loss = jnp.sum(bce * keep) / total_pos
+
+    conf_loss = pos_loss + neg_loss
+    total = conf_loss + alpha * loc_loss
+    metrics = {
+        "loss": total,
+        "loss_conf": conf_loss,
+        "loss_loc": loc_loss,
+        "num_pos": jnp.sum(num_pos),
+        "num_neg_kept": jnp.sum(keep),
+    }
+    return total, metrics
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Stable elementwise sigmoid BCE: max(x,0) − x·z + log(1 + e^{−|x|})."""
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )

@@ -1,0 +1,141 @@
+"""Train state + jitted train step.
+
+Optimizer parity with the reference (SURVEY.md §2 C8): RMSProp
+(decay/epsilon/momentum from config) with exponentially-decayed learning
+rate, plus parameter ExponentialMovingAverage shadows
+(``MOVING_AVERAGE_DECAY`` ≈ 0.9999) which inference restores — the subtle
+reference behavior called out in SURVEY.md §5.4.
+
+The train step is one pure function: images + padded gt boxes in, new state
++ metrics out. Matching, loss, backprop, optimizer update, BN-stat update
+and EMA update all happen inside the single jitted XLA program. For
+multi-chip, the same step is jitted over a mesh with the batch sharded on
+the data axis (``multibox_tpu.parallel``) — gradients all-reduce over ICI
+automatically from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from multibox_tpu.config import Config
+from multibox_tpu.train.loss import multibox_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any  # EMA shadows of params (restored at inference)
+
+    def detect_variables(self) -> Dict[str, Any]:
+        """Variables dict for ``make_detect_fn`` (incl. EMA collection)."""
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "ema": self.ema_params,
+        }
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    """Staircase exponential decay, slim-style."""
+    decay_steps = max(
+        int(cfg.num_epochs_per_decay * cfg.num_train_examples / cfg.batch_size), 1
+    )
+    return optax.exponential_decay(
+        init_value=cfg.initial_learning_rate,
+        transition_steps=decay_steps,
+        decay_rate=cfg.learning_rate_decay_factor,
+        staircase=True,
+    )
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.rmsprop(
+        learning_rate=make_lr_schedule(cfg),
+        decay=cfg.rmsprop_decay,
+        eps=cfg.rmsprop_epsilon,
+        momentum=cfg.rmsprop_momentum,
+    )
+
+
+def create_train_state(cfg: Config, model, rng: jax.Array, num_priors: int) -> TrainState:
+    """Initialize params/opt/EMA. ``model`` from ``inference.build_model``."""
+    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+
+
+def make_train_step(cfg: Config, model, priors: jnp.ndarray):
+    """Build the pure train-step function (jit it, or pjit it over a mesh).
+
+    step(state, batch) -> (state, metrics); batch is a dict with
+      images  [B, S, S, 3] float32 in [-1, 1]
+      boxes   [B, G, 4]
+      num_boxes [B] int32
+    """
+    tx = make_optimizer(cfg)
+    priors = jnp.asarray(priors, jnp.float32)
+
+    def loss_fn(params, batch_stats, batch):
+        (loc, conf), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, metrics = multibox_loss(
+            loc,
+            conf,
+            batch["boxes"],
+            batch["num_boxes"],
+            priors,
+            alpha=cfg.location_loss_alpha,
+            matching=cfg.matching,
+            hybrid_conf_weight=cfg.hybrid_conf_weight,
+            hard_negative_ratio=cfg.hard_negative_ratio,
+            encode=cfg.box_encoding,
+        )
+        return total, (updates["batch_stats"], metrics)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # EMA shadows: standard slim ExponentialMovingAverage with the
+        # usual warm-up-free fixed decay.
+        d = cfg.moving_average_decay
+        new_ema = jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        metrics = dict(metrics)
+        metrics["learning_rate"] = make_lr_schedule(cfg)(state.step)
+        return new_state, metrics
+
+    return train_step
