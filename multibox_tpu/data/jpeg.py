@@ -1,0 +1,59 @@
+"""Host-side JPEG decode behind a single API.
+
+The decode itself is entropy-coded and branch-heavy — the one stage of the
+pipeline that stays on the host CPU (native libjpeg-turbo via PIL, or the
+C++ helper in ``multibox_tpu/native``); everything downstream (resize,
+augment, normalize) runs on-device (``multibox_tpu.data.augment``).
+
+``decode_jpeg`` optionally resizes to a fixed host canvas so batches have
+static shapes before device transfer; normalized box coordinates are
+resize-invariant so labels need no adjustment.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def decode_jpeg(
+    data: bytes, canvas: Optional[int] = None, backend: str = "auto"
+) -> np.ndarray:
+    """JPEG bytes → RGB uint8 array ``[H, W, 3]`` (or ``[canvas, canvas, 3]``).
+
+    backend: "auto" | "pil" | "tf". "tf" exists for golden parity tests;
+    "pil" (libjpeg-turbo) is the production path.
+    """
+    if backend == "tf":
+        import tensorflow as tf
+
+        img = tf.io.decode_jpeg(data, channels=3).numpy()
+        if canvas is not None:
+            img = _resize_np(img, canvas)
+        return img
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    if canvas is not None:
+        img = img.resize((canvas, canvas), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def encode_jpeg(image: np.ndarray, quality: int = 95) -> bytes:
+    """RGB uint8 array → JPEG bytes (fixtures, dataset-builder CLI)."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def _resize_np(img: np.ndarray, canvas: int) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((canvas, canvas), Image.BILINEAR),
+        dtype=np.uint8,
+    )

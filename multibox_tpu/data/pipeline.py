@@ -1,0 +1,186 @@
+"""Host-side dataset: tfrecords → decoded, padded, batched numpy.
+
+The host does only what the device can't: file IO, Example parsing, JPEG
+entropy decode (threaded pool), padding to static shapes. Batches come out
+as numpy dicts ready for ``jax.device_put`` (or ``parallel.shard_batch``);
+all augmentation happens on-device afterwards (``data.augment``).
+
+Replaces the reference's queue-runner input graph (SURVEY.md §2 C3) with a
+simple threaded prefetcher — the TF-C++-threads-feeding-a-graph design
+collapses into: N decode threads → bounded queue → training loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from multibox_tpu.data import jpeg as jpeg_mod
+from multibox_tpu.data.example_proto import parse_detection_example
+from multibox_tpu.data.tfrecord import read_records
+
+
+def pad_boxes(boxes: np.ndarray, max_num: int):
+    """Pad/truncate ``[N, 4]`` boxes to ``[max_num, 4]`` + valid count."""
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    n = min(len(boxes), max_num)
+    out = np.zeros((max_num, 4), np.float32)
+    out[:n] = boxes[:n]
+    return out, np.int32(n)
+
+
+class DetectionDataset:
+    """Batched detection dataset over tfrecord files.
+
+    Yields dicts:
+      images    [B, canvas, canvas, 3] uint8
+      boxes     [B, max_num_bboxes, 4] float32
+      num_boxes [B] int32
+      image_ids list[str] (host-side metadata, not shipped to device)
+    """
+
+    def __init__(
+        self,
+        tfrecord_paths: Sequence[str],
+        batch_size: int,
+        canvas_size: int = 330,
+        max_num_bboxes: int = 16,
+        shuffle: bool = False,
+        shuffle_buffer: int = 512,
+        num_decode_threads: int = 8,
+        repeat: bool = False,
+        seed: int = 0,
+        drop_remainder: Optional[bool] = None,
+    ):
+        self.paths = list(map(str, tfrecord_paths))
+        self.batch_size = batch_size
+        self.canvas_size = canvas_size
+        self.max_num_bboxes = max_num_bboxes
+        self.shuffle = shuffle
+        self.shuffle_buffer = shuffle_buffer
+        self.num_decode_threads = num_decode_threads
+        self.repeat = repeat
+        self.seed = seed
+        # Train-style usage (repeat) keeps static batch shapes; one-shot
+        # eval pads the final partial batch instead of dropping it.
+        self.drop_remainder = repeat if drop_remainder is None else drop_remainder
+
+    def _records(self) -> Iterator[bytes]:
+        epoch = 0
+        rng = np.random.default_rng(self.seed)
+        while True:
+            paths = list(self.paths)
+            if self.shuffle:
+                rng.shuffle(paths)
+            if self.shuffle:
+                buf: List[bytes] = []
+                for rec in read_records(paths):
+                    buf.append(rec)
+                    if len(buf) >= self.shuffle_buffer:
+                        idx = rng.integers(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        yield buf.pop()
+                rng.shuffle(buf)
+                yield from buf
+            else:
+                yield from read_records(paths)
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def _decode_one(self, record: bytes) -> Dict:
+        ex = parse_detection_example(record)
+        image = jpeg_mod.decode_jpeg(ex["image_bytes"], canvas=self.canvas_size)
+        boxes, n = pad_boxes(ex["boxes"], self.max_num_bboxes)
+        return {
+            "image": image,
+            "boxes": boxes,
+            "num_boxes": n,
+            "image_id": ex["image_id"],
+            "labels": ex["labels"],
+        }
+
+    def _decoded(self) -> Iterator[Dict]:
+        """Threaded decode with a bounded in-flight window.
+
+        (NOT ``Executor.map`` — that consumes the whole input iterable
+        eagerly, which never returns on a ``repeat=True`` record stream.)
+        """
+        from collections import deque
+
+        window = max(2 * self.num_decode_threads, 8)
+        with ThreadPoolExecutor(max_workers=self.num_decode_threads) as pool:
+            records = self._records()
+            futures: deque = deque()
+            try:
+                for rec in records:
+                    futures.append(pool.submit(self._decode_one, rec))
+                    if len(futures) >= window:
+                        yield futures.popleft().result()
+                while futures:
+                    yield futures.popleft().result()
+            finally:
+                for f in futures:
+                    f.cancel()
+
+    def __iter__(self) -> Iterator[Dict]:
+        batch: List[Dict] = []
+        for item in self._decoded():
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+        if batch and not self.drop_remainder:
+            yield self._collate(batch, pad_to=self.batch_size)
+
+    def _collate(self, items: List[Dict], pad_to: Optional[int] = None) -> Dict:
+        n = len(items)
+        size = pad_to or n
+        images = np.zeros(
+            (size, self.canvas_size, self.canvas_size, 3), np.uint8
+        )
+        boxes = np.zeros((size, self.max_num_bboxes, 4), np.float32)
+        num_boxes = np.zeros((size,), np.int32)
+        ids = []
+        for i, item in enumerate(items):
+            images[i] = item["image"]
+            boxes[i] = item["boxes"]
+            num_boxes[i] = item["num_boxes"]
+            ids.append(item["image_id"])
+        ids += [""] * (size - n)
+        return {
+            "images": images,
+            "boxes": boxes,
+            "num_boxes": num_boxes,
+            "image_ids": ids,
+            "batch_valid": np.int32(n),
+        }
+
+
+class Prefetcher:
+    """Bounded background prefetch: overlaps host decode with device steps."""
+
+    def __init__(self, iterable, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._iterable = iterable
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for item in self._iterable:
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item

@@ -1,0 +1,334 @@
+"""Data layer: tfrecord/Example codec vs TF oracles, JPEG decode parity,
+on-device resize/crop parity, augmentation invariants (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multibox_tpu.config import Config
+from multibox_tpu.data import augment
+from multibox_tpu.data.example_proto import (
+    build_detection_example,
+    build_example,
+    parse_detection_example,
+    parse_example,
+)
+from multibox_tpu.data.jpeg import decode_jpeg, encode_jpeg
+from multibox_tpu.data.pipeline import DetectionDataset, Prefetcher, pad_boxes
+from multibox_tpu.data.tfrecord import TFRecordReader, TFRecordWriter
+from tests.conftest import random_boxes
+
+
+def synth_image(rng, h=64, w=80):
+    # Smooth gradient + blobs: survives JPEG without huge error.
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [yy / h * 255, xx / w * 255, (yy + xx) / (h + w) * 255], axis=-1
+    )
+    img += rng.normal(0, 4, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# tfrecord framing
+# ---------------------------------------------------------------------------
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "a.tfrecord")
+    records = [b"hello", b"", b"x" * 10000]
+    with TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    got = list(TFRecordReader(path))
+    assert got == records
+
+
+def test_tfrecord_readable_by_tensorflow(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "a.tfrecord")
+    with TFRecordWriter(path) as w:
+        w.write(b"payload-1")
+        w.write(b"payload-2")
+    got = [r.numpy() for r in tf.data.TFRecordDataset(path)]
+    assert got == [b"payload-1", b"payload-2"]
+
+
+def test_tfrecord_reads_tensorflow_files(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "tfwrote.tfrecord")
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(b"abc")
+        w.write(b"d" * 999)
+    got = list(TFRecordReader(path))
+    assert got == [b"abc", b"d" * 999]
+
+
+def test_tfrecord_detects_corruption(tmp_path):
+    path = str(tmp_path / "bad.tfrecord")
+    with TFRecordWriter(path) as w:
+        w.write(b"payload")
+    data = bytearray(open(path, "rb").read())
+    data[14] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(IOError):
+        list(TFRecordReader(path))
+
+
+# ---------------------------------------------------------------------------
+# Example proto codec
+# ---------------------------------------------------------------------------
+
+
+def test_example_roundtrip_ours():
+    feats = {
+        "bytes": [b"a", b"bb"],
+        "floats": [1.5, -2.25, 0.0],
+        "ints": [0, 1, -1, 2**40],
+    }
+    got = parse_example(build_example(feats))
+    assert got["bytes"] == [b"a", b"bb"]
+    np.testing.assert_allclose(got["floats"], feats["floats"])
+    assert got["ints"] == feats["ints"]
+
+
+def test_example_parses_tensorflow_encoding():
+    tf = pytest.importorskip("tensorflow")
+    ex = tf.train.Example(
+        features=tf.train.Features(
+            feature={
+                "image/encoded": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[b"JPEGDATA"])
+                ),
+                "image/object/bbox/ymin": tf.train.Feature(
+                    float_list=tf.train.FloatList(value=[0.1, 0.5])
+                ),
+                "image/object/class/label": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[3, -7])
+                ),
+            }
+        )
+    )
+    got = parse_example(ex.SerializeToString())
+    assert got["image/encoded"] == [b"JPEGDATA"]
+    np.testing.assert_allclose(got["image/object/bbox/ymin"], [0.1, 0.5], atol=1e-7)
+    assert got["image/object/class/label"] == [3, -7]
+
+
+def test_tensorflow_parses_our_encoding():
+    tf = pytest.importorskip("tensorflow")
+    ser = build_detection_example(
+        b"IMG", "img-7", [[0.1, 0.2, 0.3, 0.4]], labels=[5], height=10, width=20
+    )
+    ex = tf.train.Example()
+    ex.ParseFromString(ser)
+    f = ex.features.feature
+    assert f["image/encoded"].bytes_list.value[0] == b"IMG"
+    assert f["image/id"].bytes_list.value[0] == b"img-7"
+    np.testing.assert_allclose(f["image/object/bbox/xmin"].float_list.value, [0.2])
+    assert list(f["image/object/class/label"].int64_list.value) == [5]
+    assert list(f["image/height"].int64_list.value) == [10]
+
+
+def test_detection_example_roundtrip(rng):
+    boxes = random_boxes(rng, 3)
+    ser = build_detection_example(b"JPEG", "id-1", boxes, labels=[1, 2, 3])
+    got = parse_detection_example(ser)
+    assert got["image_bytes"] == b"JPEG"
+    assert got["image_id"] == "id-1"
+    np.testing.assert_allclose(got["boxes"], boxes, atol=1e-7)
+    np.testing.assert_array_equal(got["labels"], [1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_close(rng):
+    img = synth_image(rng)
+    data = encode_jpeg(img, quality=95)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_decode_parity_vs_tf(rng):
+    pytest.importorskip("tensorflow")
+    img = synth_image(rng)
+    data = encode_jpeg(img, quality=90)
+    ours = decode_jpeg(data, backend="pil").astype(int)
+    tfs = decode_jpeg(data, backend="tf").astype(int)
+    # Both are libjpeg; IDCT method may differ by ±1-2 counts.
+    assert np.abs(ours - tfs).mean() < 1.0
+    assert np.abs(ours - tfs).max() <= 16
+
+
+# ---------------------------------------------------------------------------
+# On-device resize / crop+resize
+# ---------------------------------------------------------------------------
+
+
+def test_bilinear_resize_parity_vs_tf(rng):
+    tf = pytest.importorskip("tensorflow")
+    img = synth_image(rng, 57, 91).astype(np.float32)[None]
+    ours = np.asarray(augment.bilinear_resize(jnp.array(img), 32))
+    tfs = tf.image.resize(img, (32, 32), method="bilinear", antialias=False).numpy()
+    np.testing.assert_allclose(ours, tfs, atol=0.51)  # half-pixel conventions
+    corr = np.corrcoef(ours.ravel(), tfs.ravel())[0, 1]
+    assert corr > 0.9999
+
+
+def test_crop_and_resize_identity_window(rng):
+    img = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    out = np.asarray(
+        augment.crop_and_resize(
+            jnp.array(img), jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (2, 1)), 16
+        )
+    )
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_crop_and_resize_quarter(rng):
+    # Cropping the top-left quarter of a 2x-block image == the block value.
+    img = np.zeros((1, 8, 8, 1), np.float32)
+    img[:, :4, :4] = 1.0
+    out = np.asarray(
+        augment.crop_and_resize(jnp.array(img), jnp.array([[0.0, 0.0, 0.5, 0.5]]), 4)
+    )
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Augmentation invariants
+# ---------------------------------------------------------------------------
+
+
+def test_transform_boxes_to_window(rng):
+    boxes = jnp.array([[0.2, 0.2, 0.4, 0.4], [0.8, 0.8, 0.95, 0.95], [0, 0, 0, 0]])
+    window = jnp.array([0.0, 0.0, 0.5, 0.5])  # keeps box 0, drops box 1
+    new_boxes, new_num = augment.transform_boxes_to_window(
+        boxes, jnp.int32(2), window
+    )
+    assert int(new_num) == 1
+    np.testing.assert_allclose(
+        np.asarray(new_boxes[0]), [0.4, 0.4, 0.8, 0.8], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(new_boxes[1:]), 0.0)
+
+
+def test_sample_crop_window_covers_objects(rng):
+    key = jax.random.PRNGKey(0)
+    boxes = jnp.array([[0.4, 0.4, 0.6, 0.6]] + [[0.0] * 4] * 3)
+    for i in range(10):
+        w = augment.sample_crop_window(
+            jax.random.fold_in(key, i), boxes, jnp.int32(1),
+            min_object_covered=1.0,
+        )
+        w = np.asarray(w)
+        # The object must be fully inside (or the window is the full image).
+        assert w[0] <= 0.4 + 1e-5 and w[1] <= 0.4 + 1e-5
+        assert w[2] >= 0.6 - 1e-5 and w[3] >= 0.6 - 1e-5
+
+
+def test_augment_batch_shapes_and_ranges(rng):
+    cfg = Config(input_size=64, max_num_bboxes=4)
+    B = 3
+    images = jnp.array(
+        rng.integers(0, 255, (B, 96, 96, 3)).astype(np.uint8)
+    )
+    boxes = jnp.array(np.stack([random_boxes(rng, 4) for _ in range(B)]))
+    num = jnp.array([4, 2, 0], jnp.int32)
+    fn = jax.jit(lambda k, i, b, n: augment.augment_batch(k, i, b, n, cfg))
+    out_images, out_boxes, out_num = fn(jax.random.PRNGKey(0), images, boxes, num)
+    assert out_images.shape == (B, 64, 64, 3)
+    assert float(out_images.min()) >= -1.0 - 1e-5
+    assert float(out_images.max()) <= 1.0 + 1e-5
+    ob = np.asarray(out_boxes)
+    on = np.asarray(out_num)
+    assert (on <= np.asarray(num)).all()
+    assert on[2] == 0
+    # Valid boxes stay valid boxes; padded rows stay zero.
+    for b in range(B):
+        v = ob[b, : on[b]]
+        assert (v[:, 2] >= v[:, 0] - 1e-6).all()
+        assert (v[:, 3] >= v[:, 1] - 1e-6).all()
+        np.testing.assert_allclose(ob[b, on[b]:], 0.0)
+
+
+def test_augment_deterministic_per_key(rng):
+    cfg = Config(input_size=32, max_num_bboxes=2)
+    images = jnp.array(rng.integers(0, 255, (2, 48, 48, 3)).astype(np.uint8))
+    boxes = jnp.array(np.stack([random_boxes(rng, 2) for _ in range(2)]))
+    num = jnp.array([2, 1], jnp.int32)
+    a = augment.augment_batch(jax.random.PRNGKey(7), images, boxes, num, cfg)
+    b = augment.augment_batch(jax.random.PRNGKey(7), images, boxes, num, cfg)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+# Dataset pipeline end-to-end on a fixture
+# ---------------------------------------------------------------------------
+
+
+def make_fixture(tmp_path, rng, n=10, name="fix.tfrecord"):
+    path = str(tmp_path / name)
+    with TFRecordWriter(path) as w:
+        for i in range(n):
+            img = synth_image(rng, 50 + i, 60)
+            nb = int(rng.integers(0, 4))
+            boxes = random_boxes(rng, nb) if nb else np.zeros((0, 4))
+            w.write(
+                build_detection_example(
+                    encode_jpeg(img), f"img-{i}", boxes,
+                    labels=list(range(1, nb + 1)),
+                    height=img.shape[0], width=img.shape[1],
+                )
+            )
+    return path
+
+
+def test_dataset_batches(tmp_path, rng):
+    path = make_fixture(tmp_path, rng, n=10)
+    ds = DetectionDataset(
+        [path], batch_size=4, canvas_size=64, max_num_bboxes=5
+    )
+    batches = list(ds)
+    assert len(batches) == 3  # 4+4+2(padded)
+    b = batches[0]
+    assert b["images"].shape == (4, 64, 64, 3)
+    assert b["images"].dtype == np.uint8
+    assert b["boxes"].shape == (4, 5, 4)
+    assert b["image_ids"][0] == "img-0"
+    last = batches[-1]
+    assert last["batch_valid"] == 2
+    assert last["images"].shape == (4, 64, 64, 3)  # padded to full batch
+
+
+def test_dataset_repeat_and_shuffle(tmp_path, rng):
+    path = make_fixture(tmp_path, rng, n=6)
+    ds = DetectionDataset(
+        [path], batch_size=4, canvas_size=32, max_num_bboxes=5,
+        shuffle=True, repeat=True, seed=1,
+    )
+    it = iter(ds)
+    seen = []
+    for _ in range(4):  # 16 images = 2.7 epochs
+        seen += next(it)["image_ids"]
+    assert len(seen) == 16
+    assert set(seen) == {f"img-{i}" for i in range(6)}
+
+
+def test_prefetcher_passthrough():
+    got = list(Prefetcher(iter(range(7)), depth=2))
+    assert got == list(range(7))
+
+
+def test_pad_boxes():
+    out, n = pad_boxes(np.ones((2, 4)), 5)
+    assert out.shape == (5, 4) and n == 2
+    out, n = pad_boxes(np.ones((9, 4)), 5)
+    assert out.shape == (5, 4) and n == 5
