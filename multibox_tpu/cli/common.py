@@ -1,0 +1,59 @@
+"""Shared CLI plumbing: flag surface compatible with the reference."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+from typing import List
+
+from multibox_tpu.config import Config, parse_config_file
+
+
+def setup_logging(verbose: bool = True) -> None:
+    logging.basicConfig(
+        level=logging.INFO if verbose else logging.WARNING,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    setup_jax_cache()
+
+
+def setup_jax_cache() -> None:
+    """Persistent XLA compilation cache: each CLI is a fresh process, and on
+    the `axon` platform every compile is a remote RPC (seconds to minutes) —
+    caching across processes removes that cost for repeated invocations."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "MULTIBOX_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "multibox_tpu_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never fatal
+        logging.getLogger(__name__).debug("compilation cache unavailable")
+
+
+def expand_tfrecords(patterns: List[str]) -> List[str]:
+    paths: List[str] = []
+    for p in patterns:
+        matched = sorted(glob.glob(p))
+        paths.extend(matched if matched else [p])
+    if not paths:
+        raise SystemExit("no tfrecord files matched")
+    return paths
+
+
+def add_config_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--config", type=str, default=None,
+        help="YAML config (reference UPPER_CASE keys accepted)",
+    )
+
+
+def load_config(args: argparse.Namespace) -> Config:
+    return parse_config_file(args.config) if args.config else Config()

@@ -1,0 +1,78 @@
+"""multibox-dataset — build detection tfrecords from images + annotations.
+
+The capability of the companion dataset-builder repo the reference's README
+points at (SURVEY.md §2 C14). Input: a JSON annotation file
+
+    [{"image": "path/to.jpg", "id": "img-1",
+      "boxes": [[ymin, xmin, ymax, xmax], ...],   # normalized [0,1]
+      "labels": [1, ...]}, ...]
+
+Output: sharded tfrecords with the standard ``image/encoded`` +
+``image/object/bbox/*`` schema, readable by this framework AND by TF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from multibox_tpu.cli.common import setup_logging
+from multibox_tpu.data.example_proto import build_detection_example
+from multibox_tpu.data.jpeg import decode_jpeg
+from multibox_tpu.data.tfrecord import TFRecordWriter
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--annotations", required=True, help="JSON annotations")
+    parser.add_argument("--image_root", default=".", help="base dir for image paths")
+    parser.add_argument("--output_prefix", required=True,
+                        help="e.g. /data/train -> /data/train-00000-of-00002.tfrecord")
+    parser.add_argument("--num_shards", type=int, default=1)
+    args = parser.parse_args(argv)
+    setup_logging()
+
+    with open(args.annotations) as f:
+        items = json.load(f)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output_prefix)), exist_ok=True)
+    writers = [
+        TFRecordWriter(
+            f"{args.output_prefix}-{i:05d}-of-{args.num_shards:05d}.tfrecord"
+        )
+        for i in range(args.num_shards)
+    ]
+    written = 0
+    for idx, item in enumerate(items):
+        path = os.path.join(args.image_root, item["image"])
+        with open(path, "rb") as f:
+            image_bytes = f.read()
+        # Validate the JPEG decodes; record true dimensions.
+        img = decode_jpeg(image_bytes)
+        boxes = np.asarray(item.get("boxes", []), np.float32).reshape(-1, 4)
+        if len(boxes) and (boxes.min() < 0 or boxes.max() > 1.0):
+            raise SystemExit(
+                f"{item.get('id', path)}: boxes must be normalized to [0,1]"
+            )
+        writers[idx % args.num_shards].write(
+            build_detection_example(
+                image_bytes,
+                str(item.get("id", os.path.basename(path))),
+                boxes,
+                labels=item.get("labels"),
+                height=img.shape[0],
+                width=img.shape[1],
+            )
+        )
+        written += 1
+    for w in writers:
+        w.close()
+    print(f"wrote {written} examples into {args.num_shards} shard(s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,112 @@
+"""multibox-export — export the inference graph for deployment.
+
+ref:export.py equivalent (SURVEY.md §2 C13). The reference froze a TF
+GraphDef with EMA weights folded in; the TPU-native analog exports the
+jitted detect function (EMA params baked in) as:
+
+- StableHLO (``jax.export``) — portable, runtime-loadable artifact
+- params .npz — the frozen weights
+- optionally a TF SavedModel via jax2tf when --saved_model is given
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multibox_tpu import priors as priors_mod
+from multibox_tpu.cli.common import add_config_arg, load_config, setup_logging
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint_path", required=True)
+    parser.add_argument("--priors", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--saved_model", action="store_true",
+                        help="also write a TF SavedModel via jax2tf")
+    add_config_arg(parser)
+    args = parser.parse_args(argv)
+    setup_logging()
+
+    cfg = load_config(args)
+    priors = priors_mod.load_priors(args.priors)
+    cfg.num_priors = priors.shape[0]
+
+    from multibox_tpu.inference import build_model, postprocess
+    from multibox_tpu.train.state import create_train_state
+    from multibox_tpu.utils.checkpoint import CheckpointManager
+
+    model = build_model(cfg, priors.shape[0])
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), priors.shape[0])
+    ckpt = CheckpointManager(args.checkpoint_path)
+    state = ckpt.restore(state)
+    ckpt.close()
+
+    # Freeze: EMA params folded in (reference behavior), constants captured.
+    variables = {
+        "params": state.ema_params if cfg.use_ema_for_detect else state.params,
+        "batch_stats": state.batch_stats,
+    }
+    variables = jax.tree.map(np.asarray, variables)
+    priors_j = jnp.asarray(priors)
+
+    def frozen_detect(images):
+        loc, conf = model.apply(variables, images, train=False)
+        return postprocess(loc, conf, priors_j, cfg)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    example = jnp.zeros(
+        (args.batch_size, cfg.input_size, cfg.input_size, 3), jnp.float32
+    )
+
+    from jax import export as jax_export
+
+    exported = jax_export.export(jax.jit(frozen_detect))(
+        jax.ShapeDtypeStruct(example.shape, example.dtype)
+    )
+    blob = exported.serialize()
+    with open(os.path.join(args.output_dir, "detect.stablehlo.bin"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(args.output_dir, "detect.mlir.txt"), "w") as f:
+        f.write(str(exported.mlir_module()))
+
+    flat = {}
+    import flax
+
+    for k, v in flax.traverse_util.flatten_dict(variables).items():
+        flat["/".join(map(str, k))] = np.asarray(v)
+    np.savez(os.path.join(args.output_dir, "params.npz"), **flat)
+    priors_mod.save_priors(priors, os.path.join(args.output_dir, "priors.pkl"))
+    with open(os.path.join(args.output_dir, "config.pkl"), "wb") as f:
+        pickle.dump(cfg, f)
+
+    if args.saved_model:
+        _export_saved_model(frozen_detect, example, args.output_dir)
+
+    print(f"exported to {args.output_dir}")
+    return 0
+
+
+def _export_saved_model(fn, example, output_dir):
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=[tf.TensorSpec(example.shape, tf.float32)],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.detect = tf_fn
+    tf.saved_model.save(module, os.path.join(output_dir, "saved_model"))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,3 +4,13 @@ Each kernel has a jnp reference implementation elsewhere in
 ``multibox_tpu.ops`` that defines its semantics; kernels are tested in
 interpret mode against those references (SURVEY.md §4).
 """
+
+import jax
+
+
+def should_interpret(explicit=None) -> bool:
+    """Pallas TPU kernels need ``interpret=True`` everywhere except a real
+    TPU backend (CPU tests, fake meshes)."""
+    if explicit is not None:
+        return explicit
+    return jax.default_backend() != "tpu"

@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: fused matmul + bias + ReLU (the 1×1-conv primitive).
+
+The MultiBox heads are 1×1 convs / dense layers (SURVEY.md §2 C5) — on TPU
+a 1×1 conv IS a matmul over ``[B·H·W, Cin] × [Cin, Cout]``. This kernel
+fuses the bias add and ReLU into the MXU epilogue so the activation never
+round-trips through HBM between matmul and nonlinearity.
+
+Trainable: custom VJP — forward in Pallas, backward as plain XLA matmuls
+(which XLA already schedules optimally; the fusion win is in the forward
+epilogue, not the backward).
+
+Tiling: grid over (M/128, N/128) with the full K dimension resident per
+block (K ≤ ~8k fits easily in VMEM at f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multibox_tpu.ops.pallas import should_interpret
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_kernel(x_ref, w_ref, b_ref, out_ref, *, relu: bool):
+    acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + b_ref[...].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def _fused_forward(x, w, b, relu: bool, tile_m: int = 256, tile_n: int = 256):
+    m, k = x.shape
+    k2, n = w.shape
+    assert k == k2 and b.shape == (n,)
+    mpad = _round_up(max(m, 8), tile_m)
+    npad = _round_up(max(n, 128), tile_n)
+    kpad = _round_up(max(k, 128), 128)
+
+    xp = jnp.zeros((mpad, kpad), x.dtype).at[:m, :k].set(x)
+    wp = jnp.zeros((kpad, npad), w.dtype).at[:k, :n].set(w)
+    bp = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(b.astype(jnp.float32))
+
+    grid = (mpad // tile_m, npad // tile_n)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, relu=relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, kpad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mpad, npad), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mpad * kpad * npad,
+            bytes_accessed=(mpad * kpad + kpad * npad + mpad * npad) * 4,
+            transcendentals=0,
+        ),
+        interpret=should_interpret(),
+    )(xp, wp, bp)
+    return out[:m, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_matmul_bias_relu(x, w, b, relu: bool = True):
+    """``relu(x @ w + b)`` with the epilogue fused on-chip.
+
+    x: [M, K]; w: [K, N]; b: [N]. Returns [M, N] in x.dtype.
+    """
+    return _fused_forward(x, w, b, relu)
+
+
+def _fwd(x, w, b, relu):
+    y = _fused_forward(x, w, b, relu)
+    return y, (x, w, y)
+
+
+def _bwd(relu, residuals, g):
+    x, w, y = residuals
+    if relu:
+        g = jnp.where(y > 0, g, 0.0)
+    g32 = g.astype(jnp.float32)
+    dx = (g32 @ w.astype(jnp.float32).T).astype(x.dtype)
+    dw = (x.astype(jnp.float32).T @ g32).astype(w.dtype)
+    db = jnp.sum(g32, axis=0).astype(jnp.float32)
+    return dx, dw, db
+
+
+fused_matmul_bias_relu.defvjp(_fwd, _bwd)
+
+
+def conv1x1_bias_relu(x_nhwc, w, b, relu: bool = True):
+    """1×1 conv as fused matmul. x: [B, H, W, Cin]; w: [Cin, Cout]; b: [Cout]."""
+    B, H, W, C = x_nhwc.shape
+    y = fused_matmul_bias_relu(x_nhwc.reshape(B * H * W, C), w, b, relu)
+    return y.reshape(B, H, W, -1)

@@ -1,0 +1,150 @@
+"""Pallas TPU kernel: NMS + top-k, one image per call.
+
+Semantics identical to ``multibox_tpu.ops.nms._nms_jnp`` (that function is
+the spec; see its docstring). The win over the jnp/XLA formulation: boxes,
+scores and the live-mask stay resident in VMEM across all K suppression
+iterations — one kernel instead of K fused-op rounds through HBM.
+
+Mosaic-lowering constraints shape the implementation (pallas_guide.md):
+- everything is 2D ``(1, Ppad)`` lanes-last (1D iota doesn't lower; TPU
+  tiles are (sublane, 128));
+- NO dynamic indexing of VMEM vectors: the winner's score/coords are
+  extracted with masked reductions (``max``/``sum`` over an equality
+  mask), and per-iteration outputs are written with masked full-vector
+  selects instead of ``ref[j] = v`` dynamic stores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multibox_tpu.ops.pallas import should_interpret
+
+_NEG = -1e30
+_BIG = 2**30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _nms_kernel(
+    y0_ref, x0_ref, y1_ref, x1_ref,  # each [1, Ppad] f32
+    scores_ref,  # [1, Ppad] f32
+    sel_idx_ref,  # [1, Kpad] i32 out
+    sel_scores_ref,  # [1, Kpad] f32 out
+    num_valid_ref,  # [1] i32 out (SMEM)
+    *,
+    p: int,
+    ppad: int,
+    k: int,
+    kpad: int,
+    iou_threshold: float,
+    score_threshold: float,
+):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+    in_range = col < p
+
+    y0, x0, y1, x1 = y0_ref[...], x0_ref[...], y1_ref[...], x1_ref[...]
+    area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)
+
+    scores = scores_ref[...]
+    live0 = jnp.where(
+        jnp.logical_and(in_range, scores >= score_threshold), scores, _NEG
+    )
+
+    sel_idx_ref[...] = jnp.full((1, kpad), -1, jnp.int32)
+    sel_scores_ref[...] = jnp.full((1, kpad), -1.0, jnp.float32)
+
+    def body(j, carry):
+        live, num_valid = carry
+        best_score = jnp.max(live)
+        valid = best_score > _NEG / 2
+        # first index attaining the max (ties: lowest index, argmax parity)
+        best = jnp.min(jnp.where(live == best_score, col, _BIG))
+
+        write = jnp.logical_and(kcol == j, valid)
+        sel_idx_ref[...] = jnp.where(write, best, sel_idx_ref[...])
+        sel_scores_ref[...] = jnp.where(write, best_score, sel_scores_ref[...])
+        num_valid = num_valid + valid.astype(jnp.int32)
+
+        # Winner coordinates via masked sum (exactly one lane matches).
+        sel = (col == best).astype(jnp.float32)
+        by0 = jnp.sum(y0 * sel)
+        bx0 = jnp.sum(x0 * sel)
+        by1 = jnp.sum(y1 * sel)
+        bx1 = jnp.sum(x1 * sel)
+        barea = jnp.maximum(by1 - by0, 0.0) * jnp.maximum(bx1 - bx0, 0.0)
+
+        ih = jnp.maximum(jnp.minimum(y1, by1) - jnp.maximum(y0, by0), 0.0)
+        iw = jnp.maximum(jnp.minimum(x1, bx1) - jnp.maximum(x0, bx0), 0.0)
+        inter = ih * iw
+        union = area + barea - inter
+        iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
+
+        suppress = jnp.logical_or(iou > iou_threshold, col == best)
+        live = jnp.where(jnp.logical_and(valid, suppress), _NEG, live)
+        return live, num_valid
+
+    _, num_valid = jax.lax.fori_loop(0, k, body, (live0, jnp.int32(0)))
+    num_valid_ref[0] = num_valid
+
+
+def nms_pallas(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_outputs: int,
+    iou_threshold: float = 0.5,
+    score_threshold: float = -jnp.inf,
+    interpret=None,
+):
+    """Single-image Pallas NMS. Same contract as ``ops.nms.nms``."""
+    p = boxes.shape[0]
+    ppad = _round_up(max(p, 128), 128)
+    kpad = _round_up(max(max_outputs, 128), 128)
+
+    planes = [
+        jnp.pad(boxes[:, c].astype(jnp.float32), (0, ppad - p)).reshape(1, ppad)
+        for c in range(4)
+    ]
+    scores_pad = jnp.pad(
+        scores.astype(jnp.float32), (0, ppad - p), constant_values=_NEG
+    ).reshape(1, ppad)
+
+    kernel = functools.partial(
+        _nms_kernel,
+        p=p,
+        ppad=ppad,
+        k=max_outputs,
+        kpad=kpad,
+        iou_threshold=float(iou_threshold),
+        score_threshold=float(score_threshold),
+    )
+    sel_idx, sel_scores, num_valid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((1, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=should_interpret(interpret),
+    )(*planes, scores_pad)
+
+    sel_idx = sel_idx[0, :max_outputs]
+    sel_scores = sel_scores[0, :max_outputs]
+    sel_boxes = jnp.where(
+        (sel_idx >= 0)[:, None], boxes[jnp.maximum(sel_idx, 0)], 0.0
+    )
+    return sel_boxes, sel_scores, sel_idx, num_valid[0]

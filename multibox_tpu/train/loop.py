@@ -1,0 +1,178 @@
+"""Full training loop: data → on-device augment → train step → ckpt/metrics.
+
+The TPU-native equivalent of ref:train.py's Supervisor loop (SURVEY.md §3.1):
+
+- resume-from-latest-checkpoint by default (Supervisor semantics, §5.3)
+- optional pretrained-backbone restore (slim ckpt import or a saved state)
+- ONE jitted XLA program per step containing augmentation, forward,
+  matching, loss, backward, optimizer, EMA — no host round trips
+- host decode threads + background prefetch keep the device fed
+- scales to a device mesh via ``parallel`` (batch sharded on the data axis)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multibox_tpu.config import Config
+from multibox_tpu.data import augment as augment_mod
+from multibox_tpu.data.pipeline import DetectionDataset, Prefetcher
+from multibox_tpu.inference import build_model
+from multibox_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    replicate_state,
+    shard_batch,
+)
+from multibox_tpu.train.state import TrainState, create_train_state, make_train_step
+from multibox_tpu.utils.checkpoint import CheckpointManager
+from multibox_tpu.utils.metrics import MetricsWriter
+
+log = logging.getLogger(__name__)
+
+
+def make_augmented_train_step(cfg: Config, model, priors):
+    """Wrap the train step so augmentation runs inside the same XLA program.
+
+    Batch in: raw uint8 canvas images + padded boxes. The augmentation key
+    derives from the step counter — deterministic, resume-stable.
+    """
+    base_step = make_train_step(cfg, model, priors)
+
+    def step(state: TrainState, batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+        if cfg.augment:
+            images, boxes, num_boxes = augment_mod.augment_batch(
+                key, batch["images"], batch["boxes"], batch["num_boxes"], cfg
+            )
+        else:
+            images = augment_mod.preprocess_eval(batch["images"], cfg.input_size)
+            boxes, num_boxes = batch["boxes"], batch["num_boxes"]
+        return base_step(
+            state, {"images": images, "boxes": boxes, "num_boxes": num_boxes}
+        )
+
+    return step
+
+
+def train(
+    cfg: Config,
+    tfrecords: Sequence[str],
+    priors: np.ndarray,
+    logdir: str,
+    pretrained_model: Optional[str] = None,
+    max_steps: Optional[int] = None,
+    use_mesh: bool = True,
+    canvas_size: Optional[int] = None,
+) -> TrainState:
+    """Run training; returns the final state. Resumes from logdir if a
+    checkpoint exists (reference Supervisor behavior)."""
+    priors = jnp.asarray(priors, jnp.float32)
+    model = build_model(cfg, priors.shape[0])
+    state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed), priors.shape[0])
+
+    ckpt = CheckpointManager(
+        logdir, keep=cfg.keep_checkpoints, save_every=cfg.save_every_steps
+    )
+    start_step = 0
+    latest = ckpt.latest_step()
+    if latest is not None:
+        log.info("resuming from checkpoint step %d", latest)
+        state = ckpt.restore(state)
+        start_step = int(latest)
+    elif pretrained_model:
+        state = _restore_pretrained(state, pretrained_model)
+
+    step_fn = make_augmented_train_step(cfg, model, priors)
+    devices = jax.devices()
+    if use_mesh and len(devices) > 1:
+        mesh = make_mesh(devices, cfg.data_axis)
+        pstep = make_parallel_train_step(step_fn, mesh, cfg.data_axis)
+        state = replicate_state(state, mesh)
+
+        def put(batch):
+            return shard_batch(batch, mesh, cfg.data_axis)
+
+    else:
+        pstep = jax.jit(step_fn, donate_argnums=(0,))
+
+        def put(batch):
+            return jax.device_put(batch)
+
+    canvas = canvas_size or max(int(cfg.input_size * 1.15), cfg.input_size)
+    dataset = DetectionDataset(
+        tfrecords,
+        batch_size=cfg.batch_size,
+        canvas_size=canvas,
+        max_num_bboxes=cfg.max_num_bboxes,
+        shuffle=True,
+        repeat=True,
+        seed=cfg.seed,
+    )
+    writer = MetricsWriter(logdir)
+    total = max_steps if max_steps is not None else cfg.max_number_of_steps
+
+    t_last = time.time()
+    step_idx = start_step
+    try:
+        for batch in Prefetcher(iter(dataset), depth=2):
+            if step_idx >= total:
+                break
+            device_batch = put(
+                {
+                    "images": batch["images"],
+                    "boxes": batch["boxes"],
+                    "num_boxes": batch["num_boxes"],
+                }
+            )
+            state, metrics = pstep(state, device_batch)
+            step_idx += 1
+
+            if step_idx % cfg.log_every_steps == 0 or step_idx == total:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                ips = cfg.batch_size * cfg.log_every_steps / max(now - t_last, 1e-9)
+                t_last = now
+                metrics["images_per_sec"] = ips
+                writer.write(step_idx, metrics)
+                log.info(
+                    "step %d loss=%.4f (conf=%.4f loc=%.4f) %.1f img/s",
+                    step_idx, metrics["loss"], metrics["loss_conf"],
+                    metrics["loss_loc"], ips,
+                )
+            ckpt.save(step_idx, state)
+        ckpt.wait()
+        if ckpt.latest_step() != step_idx:
+            ckpt.save(step_idx, state, force=True)
+            ckpt.wait()
+    finally:
+        writer.close()
+        ckpt.close()
+    return state
+
+
+def _restore_pretrained(state: TrainState, path: str) -> TrainState:
+    """Restore an ImageNet backbone: either a tf-slim checkpoint (name
+    mapping via models.tf_import) or a keras .h5/.keras file."""
+    from multibox_tpu.models import tf_import
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if path.endswith((".h5", ".keras")):
+        import tensorflow as tf
+
+        keras_model = tf.keras.models.load_model(path)
+        variables = tf_import.import_keras_inception_v3(keras_model, variables)
+    else:
+        variables = tf_import.import_slim_checkpoint(path, variables)
+    log.info("restored pretrained backbone from %s", path)
+    return state.replace(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+    )

@@ -67,19 +67,38 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(cfg: Config, model, rng: jax.Array, num_priors: int) -> TrainState:
-    """Initialize params/opt/EMA. ``model`` from ``inference.build_model``."""
+    """Initialize params/opt/EMA. ``model`` from ``inference.build_model``.
+
+    Initialization runs as ONE jitted program pinned to the host CPU
+    backend, then transfers to the default device: eager init dispatches
+    thousands of tiny ops (minutes of RPC overhead on the remote `axon`
+    platform), and compiling the init program remotely is even slower —
+    the host CPU compiles it in under a second.
+    """
     dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=True)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.copy, params),
-    )
+
+    def init(rng):
+        variables = model.init(rng, dummy, train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            ema_params=jax.tree.map(lambda p: p + 0.0, params),
+        )
+
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        return jax.jit(init)(rng)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = jax.jit(init)(rng)
+    from multibox_tpu.utils.transfer import fast_device_put
+
+    return fast_device_put(state, default)
 
 
 def make_train_step(cfg: Config, model, priors: jnp.ndarray):

@@ -1,0 +1,53 @@
+"""Checkpointing via orbax: periodic saves + auto-resume.
+
+Reproduces the reference's operational behavior (SURVEY.md §5.3/§5.4):
+``tf.train.Saver`` periodic saves and Supervisor-style resume-from-latest
+on restart, including the EMA shadow variables (they live inside
+``TrainState.ema_params`` and are saved/restored with everything else).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager for TrainState pytrees."""
+
+    def __init__(self, directory: str, keep: int = 3, save_every: int = 1000):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, save_interval_steps=save_every
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        return bool(saved)
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_template``."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,238 @@
+"""Full CLI loop on a tiny fixture: dataset → priors → train (resume) →
+detect → eval → visualize → export. The reference-parity surface test
+(SURVEY.md §7 step 8)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from multibox_tpu.data.example_proto import build_detection_example
+from multibox_tpu.data.jpeg import encode_jpeg
+from multibox_tpu.data.tfrecord import TFRecordWriter
+from tests.conftest import random_boxes
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+
+    # Synthetic dataset: bright square objects on dark background — learnable.
+    tf_path = str(root / "train.tfrecord")
+    with TFRecordWriter(tf_path) as w:
+        for i in range(16):
+            img = np.full((80, 80, 3), 30, np.uint8)
+            nb = int(rng.integers(1, 3))
+            boxes = []
+            for _ in range(nb):
+                y0, x0 = rng.uniform(0.1, 0.5, 2)
+                h, w_ = rng.uniform(0.2, 0.4, 2)
+                y1, x1 = min(y0 + h, 0.95), min(x0 + w_, 0.95)
+                py0, px0, py1, px1 = (
+                    int(y0 * 80), int(x0 * 80), int(y1 * 80), int(x1 * 80),
+                )
+                img[py0:py1, px0:px1] = [220, 180, 60]
+                boxes.append([y0, x0, y1, x1])
+            w.write(
+                build_detection_example(
+                    encode_jpeg(img), f"img-{i}", np.array(boxes),
+                    labels=[1] * nb, height=80, width=80,
+                )
+            )
+
+    cfg_path = str(root / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {
+                "INPUT_SIZE": 75,
+                "BATCH_SIZE": 4,
+                "MAX_NUM_BBOXES": 4,
+                "NUM_TRAIN_EXAMPLES": 16,
+                "INITIAL_LEARNING_RATE": 0.003,
+                "compute_dtype": "float32",
+                "save_every_steps": 5,
+                "log_every_steps": 2,
+                "detect_score_threshold": 0.0,
+                "max_detections": 8,
+                "augment": True,
+                "color_distort": False,
+            },
+            f,
+        )
+    return {"root": root, "tfrecord": tf_path, "config": cfg_path}
+
+
+def test_01_priors_cli(workdir):
+    from multibox_tpu.cli.priors import main
+
+    out = str(workdir["root"] / "priors.pkl")
+    assert main([
+        "--tfrecords", workdir["tfrecord"], "--output", out,
+        "--mode", "kmeans", "--num_priors", "16",
+    ]) == 0
+    from multibox_tpu.priors import load_priors
+
+    assert load_priors(out).shape == (16, 4)
+    workdir["priors"] = out
+
+
+def test_02_priors_multiscale_cli(workdir):
+    from multibox_tpu.cli.priors import main
+
+    out = str(workdir["root"] / "priors_ms.pkl")
+    assert main([
+        "--output", out, "--mode", "multiscale",
+        "--feature_map_sizes", "4", "2", "--aspect_ratios", "1.0", "2.0",
+    ]) == 0
+
+
+def test_03_train_cli_and_resume(workdir):
+    from multibox_tpu.cli.train import main
+
+    logdir = str(workdir["root"] / "logdir")
+    args = [
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--logdir", logdir, "--config", workdir["config"],
+        "--no_mesh",
+    ]
+    assert main(args + ["--max_number_of_steps", "6"]) == 0
+    # metrics written
+    lines = open(os.path.join(logdir, "metrics.jsonl")).read().splitlines()
+    assert any(json.loads(l)["step"] == 6 for l in lines)
+    # resume: continue to step 10 from the saved step-6 checkpoint
+    assert main(args + ["--max_number_of_steps", "10"]) == 0
+    steps = [json.loads(l)["step"] for l in
+             open(os.path.join(logdir, "metrics.jsonl")).read().splitlines()]
+    assert max(steps) == 10
+    workdir["logdir"] = logdir
+
+
+def test_04_detect_cli(workdir):
+    from multibox_tpu.cli.detect import main
+
+    out = str(workdir["root"] / "detections.pkl")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--checkpoint_path", workdir["logdir"],
+        "--output", out, "--config", workdir["config"],
+    ]) == 0
+    results = pickle.load(open(out, "rb"))
+    assert len(results) == 16
+    assert {r["image_id"] for r in results} == {f"img-{i}" for i in range(16)}
+    r = results[0]
+    assert r["boxes"].shape[1] == 4
+    assert (r["boxes"] >= 0).all() and (r["boxes"] <= 1).all()
+    workdir["detections"] = out
+
+
+def test_05_detect_cli_json(workdir):
+    from multibox_tpu.cli.detect import main
+
+    out = str(workdir["root"] / "detections.json")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--checkpoint_path", workdir["logdir"],
+        "--output", out, "--config", workdir["config"],
+    ]) == 0
+    data = json.load(open(out))
+    assert len(data) == 16
+
+
+def test_06_eval_cli(workdir, capsys):
+    from multibox_tpu.cli.evaluate import main
+
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--detections", workdir["detections"],
+        "--config", workdir["config"],
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "AP@0.5" in out and "mAP@[.5:.95]" in out
+
+
+def test_07_visualize_inputs_cli(workdir):
+    from multibox_tpu.cli.visualize_inputs import main
+
+    out_dir = str(workdir["root"] / "viz_inputs")
+    assert main([
+        "--tfrecords", workdir["tfrecord"], "--output_dir", out_dir,
+        "--config", workdir["config"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+    ]) == 0
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 4  # one batch
+
+
+def test_08_visualize_cli(workdir):
+    from multibox_tpu.cli.visualize import main
+
+    out_dir = str(workdir["root"] / "viz_preds")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--checkpoint_path", workdir["logdir"],
+        "--output_dir", out_dir, "--config", workdir["config"],
+        "--score_threshold", "0.0", "--max_images", "3",
+    ]) == 0
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 3
+
+
+def test_09_export_cli(workdir):
+    from multibox_tpu.cli.export import main
+
+    out_dir = str(workdir["root"] / "export")
+    assert main([
+        "--checkpoint_path", workdir["logdir"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--output_dir", out_dir, "--config", workdir["config"],
+    ]) == 0
+    assert os.path.exists(os.path.join(out_dir, "detect.stablehlo.bin"))
+    assert os.path.exists(os.path.join(out_dir, "params.npz"))
+    # The exported artifact must load and run.
+    import jax
+    from jax import export as jax_export
+
+    with open(os.path.join(out_dir, "detect.stablehlo.bin"), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    import jax.numpy as jnp
+
+    out = exported.call(jnp.zeros((1, 75, 75, 3), jnp.float32))
+    # dict output order: boxes, classes, num, scores
+    assert any(getattr(o, "shape", None) == (1, 8, 4) for o in jax.tree.leaves(out))
+
+
+def test_10_dataset_cli(workdir, tmp_path):
+    from multibox_tpu.cli.dataset import main
+    from multibox_tpu.data.example_proto import parse_detection_example
+    from multibox_tpu.data.tfrecord import read_records
+
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    items = []
+    for i in range(3):
+        img = rng.integers(0, 255, (40, 50, 3)).astype(np.uint8)
+        p = img_dir / f"{i}.jpg"
+        p.write_bytes(encode_jpeg(img))
+        items.append({
+            "image": f"{i}.jpg", "id": f"ds-{i}",
+            "boxes": random_boxes(rng, 2).tolist(), "labels": [1, 2],
+        })
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(items))
+    prefix = str(tmp_path / "out" / "train")
+    assert main([
+        "--annotations", str(ann), "--image_root", str(img_dir),
+        "--output_prefix", prefix, "--num_shards", "2",
+    ]) == 0
+    shards = [f"{prefix}-{i:05d}-of-00002.tfrecord" for i in range(2)]
+    got = [parse_detection_example(r)["image_id"] for r in read_records(shards)]
+    assert sorted(got) == ["ds-0", "ds-1", "ds-2"]
