@@ -33,6 +33,15 @@ def decode_jpeg(
         if canvas is not None:
             img = _resize_np(img, canvas)
         return img
+    if backend in ("auto", "native"):
+        try:
+            from multibox_tpu.data import _native
+
+            if _native.available():
+                return _native.decode_jpeg(data, canvas)
+        except Exception:
+            if backend == "native":
+                raise
     from PIL import Image
 
     img = Image.open(io.BytesIO(data)).convert("RGB")
