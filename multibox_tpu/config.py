@@ -75,6 +75,10 @@ class Config:
     # --- ops backend ---
     use_pallas: bool = False  # route NMS/matching to Pallas TPU kernels
 
+    # --- debugging / observability (SURVEY.md §5.1/§5.2) ---
+    debug_nans: bool = False  # jax_debug_nans toggle
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of N steps
+
 
 # Reference-era UPPER_CASE YAML key → dataclass field.
 _KEY_ALIASES = {

@@ -90,6 +90,18 @@ uint8_t* mbx_decode_jpeg(const uint8_t* data, uint64_t size, int canvas,
                static_cast<unsigned long>(size));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (canvas > 0) {
+    // DCT-domain downscale: decode at the smallest scale_num/8 that still
+    // covers the canvas — decoding a 4x-too-big COCO image at 1/2 or 1/4
+    // scale costs a fraction of a full decode.
+    const int src_min = cinfo.image_height < cinfo.image_width
+                            ? cinfo.image_height
+                            : cinfo.image_width;
+    int num = 8;
+    while (num > 1 && (src_min * (num - 1)) / 8 >= canvas) --num;
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
 
   const int h = cinfo.output_height;

@@ -73,6 +73,8 @@ def train(
 ) -> TrainState:
     """Run training; returns the final state. Resumes from logdir if a
     checkpoint exists (reference Supervisor behavior)."""
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     priors = jnp.asarray(priors, jnp.float32)
     model = build_model(cfg, priors.shape[0])
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed), priors.shape[0])
@@ -118,19 +120,34 @@ def train(
     writer = MetricsWriter(logdir)
     total = max_steps if max_steps is not None else cfg.max_number_of_steps
 
+    def host_batches():
+        for batch in dataset:
+            yield {
+                "images": batch["images"],
+                "boxes": batch["boxes"],
+                "num_boxes": batch["num_boxes"],
+            }
+
     t_last = time.time()
     step_idx = start_step
+    profiling = False
     try:
-        for batch in Prefetcher(iter(dataset), depth=2):
+        # NOTE: device_put stays on the main thread — a background-thread
+        # put contends with step dispatch on jax's client lock and halves
+        # throughput on small hosts (measured).
+        for batch in Prefetcher(host_batches(), depth=3):
             if step_idx >= total:
                 break
-            device_batch = put(
-                {
-                    "images": batch["images"],
-                    "boxes": batch["boxes"],
-                    "num_boxes": batch["num_boxes"],
-                }
-            )
+            device_batch = put(batch)
+            # Profiler window (SURVEY.md §5.1): trace steps [1, profile_steps]
+            # after warmup/compile so the trace shows steady-state steps.
+            if cfg.profile_steps and step_idx == start_step + 1 and not profiling:
+                jax.profiler.start_trace(logdir)
+                profiling = True
+            if profiling and step_idx >= start_step + 1 + cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("wrote profiler trace to %s", logdir)
             state, metrics = pstep(state, device_batch)
             step_idx += 1
 
@@ -152,6 +169,8 @@ def train(
             ckpt.save(step_idx, state, force=True)
             ckpt.wait()
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         writer.close()
         ckpt.close()
     return state
