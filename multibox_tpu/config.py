@@ -30,6 +30,9 @@ class Config:
     ssd_priors_per_cell: int = 6
     box_encoding: str = "multibox"  # "multibox" (residual) | "ssd"
     compute_dtype: str = "bfloat16"
+    # slim parity default; lower (e.g. 0.9) for short training runs or the
+    # inference-mode BN statistics never leave their init values.
+    bn_momentum: float = 0.9997
 
     # --- training ---
     batch_size: int = 32

@@ -153,7 +153,7 @@ def transform_boxes_to_window(
     compacted = jnp.where(
         (jnp.arange(G) < new_num)[:, None], compacted, 0.0
     )
-    return compacted, new_num
+    return compacted, new_num, order
 
 
 def sample_crop_window(
@@ -251,14 +251,18 @@ def augment_batch(
     boxes: jnp.ndarray,
     num_boxes: jnp.ndarray,
     cfg: Config,
+    labels: jnp.ndarray = None,
 ):
     """Full train-time augmentation, batched + jitted.
 
     Args:
       images: ``[B, H, W, 3]`` uint8 (host canvas size).
       boxes: ``[B, G, 4]``, num_boxes: ``[B]``.
+      labels: optional ``[B, G]`` int class ids — permuted in lockstep with
+        the boxes the crop keeps.
 
-    Returns (images ``[B, S, S, 3]`` float32 in [-1, 1], boxes, num_boxes).
+    Returns (images ``[B, S, S, 3]`` float32 in [-1, 1], boxes, num_boxes)
+    — plus labels when given.
     """
     B = images.shape[0]
     k_crop, k_flip, k_color = jax.random.split(key, 3)
@@ -274,9 +278,14 @@ def augment_batch(
                 area_range=(cfg.crop_min_area, cfg.crop_max_area),
             )
         )(crop_keys, boxes, num_boxes)
-        boxes, num_boxes = jax.vmap(
+        boxes, num_boxes, order = jax.vmap(
             lambda b, n, w: transform_boxes_to_window(b, n, w)
         )(boxes, num_boxes, windows)
+        if labels is not None:
+            labels = jnp.take_along_axis(labels, order, axis=1)
+            G = labels.shape[1]
+            lvalid = jnp.arange(G)[None, :] < num_boxes[:, None]
+            labels = jnp.where(lvalid, labels, 0)
     else:
         windows = jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (B, 1))
 
@@ -298,6 +307,8 @@ def augment_batch(
         images = color_distort(k_color, images, cfg)
 
     images = (images - 0.5) * 2.0  # slim scaling to [-1, 1]
+    if labels is not None:
+        return images, boxes, num_boxes, labels
     return images, boxes, num_boxes
 
 

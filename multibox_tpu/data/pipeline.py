@@ -96,12 +96,15 @@ class DetectionDataset:
         ex = parse_detection_example(record)
         image = jpeg_mod.decode_jpeg(ex["image_bytes"], canvas=self.canvas_size)
         boxes, n = pad_boxes(ex["boxes"], self.max_num_bboxes)
+        labels = np.zeros((self.max_num_bboxes,), np.int32)
+        k = min(len(ex["labels"]), self.max_num_bboxes)
+        labels[:k] = ex["labels"][:k]
         return {
             "image": image,
             "boxes": boxes,
             "num_boxes": n,
             "image_id": ex["image_id"],
-            "labels": ex["labels"],
+            "labels": labels,
         }
 
     def _decoded(self) -> Iterator[Dict]:
@@ -145,17 +148,20 @@ class DetectionDataset:
         )
         boxes = np.zeros((size, self.max_num_bboxes, 4), np.float32)
         num_boxes = np.zeros((size,), np.int32)
+        labels = np.zeros((size, self.max_num_bboxes), np.int32)
         ids = []
         for i, item in enumerate(items):
             images[i] = item["image"]
             boxes[i] = item["boxes"]
             num_boxes[i] = item["num_boxes"]
+            labels[i] = item["labels"]
             ids.append(item["image_id"])
         ids += [""] * (size - n)
         return {
             "images": images,
             "boxes": boxes,
             "num_boxes": num_boxes,
+            "labels": labels,
             "image_ids": ids,
             "batch_valid": np.int32(n),
         }

@@ -131,3 +131,53 @@ def evaluate_detections(
         "num_images": float(len(detections)),
         "num_gt": float(sum(len(b) for b in groundtruth.values())),
     }
+
+
+def evaluate_detections_per_class(
+    detections: Sequence[Dict],
+    groundtruth_boxes: Dict[str, np.ndarray],
+    groundtruth_labels: Dict[str, np.ndarray],
+) -> Dict[str, float]:
+    """Multi-class protocol: AP computed per class, averaged (VOC/COCO).
+
+    Detections must carry ``classes``; ground truth labels per image are
+    aligned with the gt boxes. Classes absent from the ground truth are
+    skipped (COCO convention).
+    """
+    classes = sorted(
+        {int(c) for labels in groundtruth_labels.values() for c in labels}
+    )
+    summary: Dict[str, float] = {}
+    per_class_50 = []
+    per_class_coco = []
+    for c in classes:
+        gt_c = {
+            img: boxes[np.asarray(groundtruth_labels[img]) == c]
+            for img, boxes in groundtruth_boxes.items()
+        }
+        det_c = []
+        for det in detections:
+            mask = np.asarray(det.get("classes", [])) == c
+            det_c.append(
+                {
+                    "image_id": det["image_id"],
+                    "boxes": np.asarray(det["boxes"]).reshape(-1, 4)[mask],
+                    "scores": np.asarray(det["scores"]).reshape(-1)[mask],
+                }
+            )
+        ap50, _ = average_precision(det_c, gt_c, 0.5)
+        coco = float(
+            np.mean(
+                [average_precision(det_c, gt_c, t)[0]
+                 for t in np.arange(0.5, 1.0, 0.05)]
+            )
+        )
+        per_class_50.append(ap50)
+        per_class_coco.append(coco)
+        summary[f"AP@0.5/class_{c}"] = ap50
+    summary["mAP@0.5"] = float(np.mean(per_class_50)) if per_class_50 else 0.0
+    summary["mAP@[.5:.95]"] = (
+        float(np.mean(per_class_coco)) if per_class_coco else 0.0
+    )
+    summary["num_classes"] = float(len(classes))
+    return summary

@@ -39,6 +39,7 @@ def build_model(cfg: Config, num_priors: int) -> MultiBoxDetector:
         bottleneck_features=cfg.bottleneck_features,
         ssd_endpoints=tuple(cfg.ssd_endpoints),
         ssd_priors_per_cell=cfg.ssd_priors_per_cell,
+        bn_momentum=cfg.bn_momentum,
     )
 
 

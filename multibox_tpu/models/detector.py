@@ -37,6 +37,7 @@ class MultiBoxDetector(nn.Module):
     head_type: str = "multibox"
     num_classes: int = 1
     compute_dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.9997
     bottleneck_features: int = 96
     ssd_endpoints: tuple = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
     ssd_priors_per_cell: int = 6
@@ -44,7 +45,9 @@ class MultiBoxDetector(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
         endpoints = InceptionV3(
-            compute_dtype=self.compute_dtype, name="InceptionV3"
+            compute_dtype=self.compute_dtype,
+            bn_momentum=self.bn_momentum,
+            name="InceptionV3",
         )(images, train=train)
         if self.head_type == "multibox":
             head = MultiBoxHead(

@@ -223,6 +223,7 @@ def matching_targets(
     gt_boxes: jnp.ndarray,
     priors: jnp.ndarray,
     encode: str = "multibox",
+    gt_labels: Optional[jnp.ndarray] = None,
 ):
     """Convert a per-gt assignment into per-prior training targets.
 
@@ -231,11 +232,14 @@ def matching_targets(
       gt_boxes: ``[G, 4]`` normalized corner boxes.
       priors: ``[P, 4]``.
       encode: ``"multibox"`` (residual) or ``"ssd"`` (center/log-scale).
+      gt_labels: optional ``[G]`` int class ids (for multi-class training).
 
     Returns:
       conf_targets: ``[P]`` float — 1.0 for matched priors else 0.0.
       loc_targets: ``[P, 4]`` — encoded offsets (zeros for unmatched).
       matched: ``[P]`` bool mask.
+      cls_targets: ``[P]`` int32 — matched gt's class id, −1 unmatched
+        (only when ``gt_labels`` given; otherwise omitted).
     """
     P = priors.shape[0]
     valid = assignment >= 0
@@ -260,7 +264,14 @@ def matching_targets(
     else:
         raise ValueError(f"unknown encoding: {encode}")
     loc_targets = jnp.where(matched[:, None], offsets, 0.0)
-    return conf_targets, loc_targets, matched
+    if gt_labels is None:
+        return conf_targets, loc_targets, matched
+    cls_targets = (
+        jnp.full((P,), -1, jnp.int32)
+        .at[jnp.where(valid, assignment, P)]
+        .set(gt_labels.astype(jnp.int32), mode="drop")
+    )
+    return conf_targets, loc_targets, matched, cls_targets
 
 
 def match_priors(

@@ -29,42 +29,64 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fused_kernel(x_ref, w_ref, b_ref, out_ref, *, relu: bool):
-    acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
-    acc = acc + b_ref[...].astype(jnp.float32)
-    if relu:
-        acc = jnp.maximum(acc, 0.0)
-    out_ref[...] = acc.astype(out_ref.dtype)
+def _fused_kernel(x_ref, w_ref, b_ref, out_ref, acc_ref, *, relu: bool,
+                  k_steps: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == k_steps - 1)
+    def _():
+        acc = acc_ref[...] + b_ref[...].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _fused_forward(x, w, b, relu: bool, tile_m: int = 256, tile_n: int = 256):
+def _fused_forward(
+    x, w, b, relu: bool, tile_m: int = 512, tile_n: int = 512,
+    tile_k: int = 512,
+):
     m, k = x.shape
     k2, n = w.shape
     assert k == k2 and b.shape == (n,)
+    tile_m = min(tile_m, _round_up(max(m, 8), 8))
+    tile_n = min(tile_n, _round_up(max(n, 128), 128))
+    tile_k = min(tile_k, _round_up(max(k, 128), 128))
     mpad = _round_up(max(m, 8), tile_m)
     npad = _round_up(max(n, 128), tile_n)
-    kpad = _round_up(max(k, 128), 128)
+    kpad = _round_up(max(k, 128), tile_k)
 
     xp = jnp.zeros((mpad, kpad), x.dtype).at[:m, :k].set(x)
     wp = jnp.zeros((kpad, npad), w.dtype).at[:k, :n].set(w)
     bp = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(b.astype(jnp.float32))
 
-    grid = (mpad // tile_m, npad // tile_n)
+    k_steps = kpad // tile_k
+    # k innermost: the accumulator tile stays resident while Mosaic
+    # double-buffers the next x/w blocks from HBM.
+    grid = (mpad // tile_m, npad // tile_n, k_steps)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, relu=relu),
+        functools.partial(_fused_kernel, relu=relu, k_steps=k_steps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_m, kpad), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kpad, tile_n), lambda i, j: (0, j),
+            pl.BlockSpec((tile_k, tile_n), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (tile_m, tile_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((mpad, npad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mpad * kpad * npad,
             bytes_accessed=(mpad * kpad + kpad * npad + mpad * npad) * 4,

@@ -47,16 +47,23 @@ def make_augmented_train_step(cfg: Config, model, priors):
 
     def step(state: TrainState, batch):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+        labels = batch.get("labels")
         if cfg.augment:
-            images, boxes, num_boxes = augment_mod.augment_batch(
-                key, batch["images"], batch["boxes"], batch["num_boxes"], cfg
+            out = augment_mod.augment_batch(
+                key, batch["images"], batch["boxes"], batch["num_boxes"], cfg,
+                labels=labels,
             )
+            if labels is not None:
+                images, boxes, num_boxes, labels = out
+            else:
+                images, boxes, num_boxes = out
         else:
             images = augment_mod.preprocess_eval(batch["images"], cfg.input_size)
             boxes, num_boxes = batch["boxes"], batch["num_boxes"]
-        return base_step(
-            state, {"images": images, "boxes": boxes, "num_boxes": num_boxes}
-        )
+        device_batch = {"images": images, "boxes": boxes, "num_boxes": num_boxes}
+        if labels is not None and cfg.num_classes > 1:
+            device_batch["labels"] = labels
+        return base_step(state, device_batch)
 
     return step
 
@@ -122,11 +129,14 @@ def train(
 
     def host_batches():
         for batch in dataset:
-            yield {
+            out = {
                 "images": batch["images"],
                 "boxes": batch["boxes"],
                 "num_boxes": batch["num_boxes"],
             }
+            if cfg.num_classes > 1:
+                out["labels"] = batch["labels"]
+            yield out
 
     t_last = time.time()
     step_idx = start_step

@@ -42,12 +42,14 @@ def multibox_loss(
     hybrid_conf_weight: float = 0.0,
     hard_negative_ratio: float = 3.0,
     encode: str = "multibox",
+    gt_labels: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Batched MultiBox loss.
 
     Args:
       loc_preds: ``[B, P, 4]`` predicted offsets.
-      conf_logits: ``[B, P]`` confidence logits (class-agnostic).
+      conf_logits: ``[B, P]`` class-agnostic logits (reference behavior) or
+        ``[B, P, C]`` multi-class logits (sigmoid per class).
       gt_boxes: ``[B, G, 4]`` normalized corner boxes (padded).
       num_gt: ``[B]`` valid gt count per image.
       priors: ``[P, 4]``.
@@ -56,10 +58,17 @@ def multibox_loss(
       hybrid_conf_weight: >0 → loss-aware matching (1412.1441 §2.1).
       hard_negative_ratio: negatives kept per positive (0 → keep all).
       encode: target encoding ("multibox" residual | "ssd").
+      gt_labels: ``[B, G]`` int class ids in ``[0, C)`` — required when
+        ``conf_logits`` is multi-class.
 
     Returns (total_loss scalar, metrics dict).
     """
-    B, P = conf_logits.shape
+    multiclass = conf_logits.ndim == 3
+    B, P = conf_logits.shape[:2]
+    # Class-agnostic confidence drives hybrid matching in both modes.
+    conf_agn = (
+        jnp.max(conf_logits, axis=-1) if multiclass else conf_logits
+    )  # [B, P]
 
     def match_one(gt, n, conf, loc):
         return matching_ops.match_priors(
@@ -74,8 +83,8 @@ def multibox_loss(
             encode=encode,
         )
 
-    _, conf_t, loc_t, matched = jax.vmap(match_one)(
-        gt_boxes, num_gt, conf_logits, loc_preds
+    assignment, conf_t, loc_t, matched = jax.vmap(match_one)(
+        gt_boxes, num_gt, conf_agn, loc_preds
     )
     # conf_t/loc_t are targets — constants w.r.t. the params.
     conf_t = jax.lax.stop_gradient(conf_t)  # [B, P]
@@ -88,10 +97,36 @@ def multibox_loss(
     sq = jnp.sum((loc_preds - loc_t) ** 2, axis=-1)  # [B, P]
     loc_loss = 0.5 * jnp.sum(sq * conf_t) / total_pos
 
-    # Confidence BCE (numerically stable form).
-    bce = optax_sigmoid_bce(conf_logits, conf_t)  # [B, P]
+    if multiclass:
+        if gt_labels is None:
+            raise ValueError("gt_labels required for multi-class conf_logits")
+        C = conf_logits.shape[-1]
+        # Per-prior class targets via the assignment scatter.
+        def cls_one(assign, labels):
+            valid = assign >= 0
+            return (
+                jnp.full((P,), -1, jnp.int32)
+                .at[jnp.where(valid, assign, P)]
+                .set(labels.astype(jnp.int32), mode="drop")
+            )
 
-    pos_loss = jnp.sum(bce * conf_t) / total_pos
+        cls_t = jax.lax.stop_gradient(jax.vmap(cls_one)(assignment, gt_labels))
+        onehot = jnp.logical_and(
+            cls_t[..., None] == jnp.arange(C)[None, None, :],
+            matched[..., None],
+        ).astype(conf_logits.dtype)  # [B, P, C]
+        bce_full = optax_sigmoid_bce(conf_logits, onehot)  # [B, P, C]
+        pos_loss = jnp.sum(bce_full * onehot) / total_pos
+        # Per-prior negative score: all non-positive (prior, class) entries.
+        bce = jnp.sum(bce_full * (1.0 - onehot), axis=-1)  # [B, P]
+        # Matched priors' OTHER classes are mandatory negatives (never
+        # mined away — otherwise a wrong class at a matched prior is never
+        # penalized and class inference can't separate).
+        pos_loss = pos_loss + jnp.sum(bce * conf_t) / total_pos
+    else:
+        # Confidence BCE (numerically stable form).
+        bce = optax_sigmoid_bce(conf_logits, conf_t)  # [B, P]
+        pos_loss = jnp.sum(bce * conf_t) / total_pos
 
     neg_mask = 1.0 - conf_t
     if hard_negative_ratio and hard_negative_ratio > 0:

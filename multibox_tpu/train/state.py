@@ -130,6 +130,7 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
             hybrid_conf_weight=cfg.hybrid_conf_weight,
             hard_negative_ratio=cfg.hard_negative_ratio,
             encode=cfg.box_encoding,
+            gt_labels=batch.get("labels"),
         )
         return total, (updates["batch_stats"], metrics)
 
@@ -140,9 +141,12 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        # EMA shadows: standard slim ExponentialMovingAverage with the
-        # usual warm-up-free fixed decay.
-        d = cfg.moving_average_decay
+        # EMA shadows: slim ExponentialMovingAverage with num_updates —
+        # effective decay ramps as min(decay, (1+t)/(10+t)) so short runs
+        # aren't stuck at the (random) init shadows (the reference passes
+        # the global step as num_updates; SURVEY.md §5.4).
+        t = state.step.astype(jnp.float32)
+        d = jnp.minimum(cfg.moving_average_decay, (1.0 + t) / (10.0 + t))
         new_ema = jax.tree.map(
             lambda e, p: d * e + (1.0 - d) * p, state.ema_params, new_params
         )

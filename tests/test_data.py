@@ -209,7 +209,7 @@ def test_crop_and_resize_quarter(rng):
 def test_transform_boxes_to_window(rng):
     boxes = jnp.array([[0.2, 0.2, 0.4, 0.4], [0.8, 0.8, 0.95, 0.95], [0, 0, 0, 0]])
     window = jnp.array([0.0, 0.0, 0.5, 0.5])  # keeps box 0, drops box 1
-    new_boxes, new_num = augment.transform_boxes_to_window(
+    new_boxes, new_num, _ = augment.transform_boxes_to_window(
         boxes, jnp.int32(2), window
     )
     assert int(new_num) == 1
