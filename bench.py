@@ -24,48 +24,72 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu_detect(batch=32, iters=20, priors_count=256):
+def bench_tpu_detect(batch=32, iters=30, priors_count=256):
+    """Device-side chained timing: N data-dependent detect steps inside ONE
+    jitted program, one host sync. Immune to (a) the remote runtime
+    memoizing repeated identical calls and (b) the ~30ms D2H round-trip
+    that dominates per-call sync through the tunnel."""
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from multibox_tpu.config import Config
-    from multibox_tpu.inference import build_model, make_detect_fn
+    from multibox_tpu.inference import build_model, postprocess
 
     log("devices:", jax.devices())
     cfg = Config(num_priors=priors_count, max_detections=100)
     rng = np.random.default_rng(0)
-    priors = np.sort(
+    priors_np = np.sort(
         rng.uniform(0, 1, (priors_count, 2, 2)).astype(np.float32), axis=1
     ).reshape(priors_count, 4)
+    priors = jnp.asarray(priors_np)
 
     model = build_model(cfg, priors_count)
     images = jnp.asarray(
         rng.uniform(-1, 1, (batch, 299, 299, 3)).astype(np.float32)
     )
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), images[:1]))()
-    detect = make_detect_fn(cfg, priors, use_ema=False)
 
-    # Warmup / compile.
-    out = jax.block_until_ready(detect(variables, images))
+    def chained(variables, x, n):
+        def body(i, carry):
+            x, acc = carry
+            out = postprocess(
+                *model.apply(variables, x, train=False), priors, cfg
+            )
+            s = out["scores"].sum()
+            # negligible data dependency forces true sequential execution
+            return x + (s * 1e-20).astype(x.dtype), acc + s
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
+
+    f = jax.jit(chained, static_argnums=2)
+    float(f(variables, images, iters))  # compile + warm (same static n!)
+    images2 = images + np.float32(1e-6)  # distinct input: no call memoization
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = detect(variables, images)
-    jax.block_until_ready(out)
+    float(f(variables, images2, iters))
     dt = time.perf_counter() - t0
-    ips = batch * iters / dt
-    log(f"TPU detect: batch={batch} iters={iters} time={dt:.3f}s -> {ips:.1f} img/s")
+    per = dt / iters  # D2H RTT amortized over iters
+    ips = batch / per
+    log(f"TPU detect (chained x{iters}): {per * 1e3:.2f}ms/batch -> {ips:.1f} img/s")
 
-    # p50 single-image latency.
+    # p50 single-image latency: per-call including one host sync (that IS
+    # the latency a single-image caller experiences).
     one = images[:1]
+    detect_one = jax.jit(
+        lambda v, x: postprocess(*model.apply(v, x, train=False), priors, cfg)
+    )
+    jax.block_until_ready(detect_one(variables, one))
     lat = []
-    jax.block_until_ready(detect(variables, one))  # compile batch-1
-    for _ in range(30):
+    for i in range(30):
+        # vary input to defeat call memoization
+        x = one + np.float32(i) * 1e-6
         t0 = time.perf_counter()
-        jax.block_until_ready(detect(variables, one))
+        out = detect_one(variables, x)
+        float(out["num"].sum())
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat) * 1e3)
-    log(f"TPU p50 single-image detect latency: {p50:.2f} ms")
+    log(f"TPU p50 single-image detect latency: {p50:.2f} ms (incl host sync)")
     return ips, p50
 
 
