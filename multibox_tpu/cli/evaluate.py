@@ -25,12 +25,14 @@ from multibox_tpu.data.tfrecord import read_records
 from multibox_tpu.evaluate import evaluate_detections
 
 
-def load_groundtruth(tfrecords):
+def load_groundtruth(tfrecords, with_labels: bool = False):
     gt = {}
+    labels = {}
     for rec in read_records(tfrecords):
         ex = parse_detection_example(rec)
         gt[ex["image_id"]] = np.asarray(ex["boxes"], np.float64)
-    return gt
+        labels[ex["image_id"]] = np.asarray(ex["labels"], np.int64)
+    return (gt, labels) if with_labels else gt
 
 
 def main(argv=None) -> int:
@@ -42,6 +44,8 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint_path", default=None,
                         help="or: run detection inline from this checkpoint")
     parser.add_argument("--priors", default=None)
+    parser.add_argument("--per_class", action="store_true",
+                        help="multi-class protocol: AP per class, averaged")
     add_config_arg(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -64,8 +68,14 @@ def main(argv=None) -> int:
         cfg.num_priors = priors.shape[0]
         results = run_detection(cfg, tfrecords, priors, args.checkpoint_path)
 
-    gt = load_groundtruth(tfrecords)
-    metrics = evaluate_detections(results, gt)
+    if args.per_class:
+        from multibox_tpu.evaluate import evaluate_detections_per_class
+
+        gt, gt_labels = load_groundtruth(tfrecords, with_labels=True)
+        metrics = evaluate_detections_per_class(results, gt, gt_labels)
+    else:
+        gt = load_groundtruth(tfrecords)
+        metrics = evaluate_detections(results, gt)
     for k, v in metrics.items():
         print(f"{k}: {v:.4f}")
     return 0
