@@ -14,8 +14,7 @@ one is used only when ``cfg.box_encoding == "ssd"``).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -236,3 +236,23 @@ def test_10_dataset_cli(workdir, tmp_path):
     shards = [f"{prefix}-{i:05d}-of-00002.tfrecord" for i in range(2)]
     got = [parse_detection_example(r)["image_id"] for r in read_records(shards)]
     assert sorted(got) == ["ds-0", "ds-1", "ds-2"]
+
+
+def test_11_train_with_profiler(workdir, tmp_path):
+    """profile_steps captures a jax.profiler trace directory."""
+    import yaml
+    from multibox_tpu.cli.train import main
+
+    cfg = yaml.safe_load(open(workdir["config"]))
+    cfg["profile_steps"] = 2
+    cfg_path = str(tmp_path / "prof.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    logdir = str(tmp_path / "proflogs")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--logdir", logdir, "--config", cfg_path,
+        "--no_mesh", "--max_number_of_steps", "5",
+    ]) == 0
+    trace_dir = os.path.join(logdir, "plugins", "profile")
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)

@@ -1,0 +1,99 @@
+"""Serving loader: export dir → callable detector, batch splitting/padding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    """Build a tiny detector and export it via the export CLI machinery."""
+    root = tmp_path_factory.mktemp("serve")
+    from multibox_tpu.config import Config
+    from multibox_tpu.inference import build_model
+    from multibox_tpu.priors import save_priors
+    from multibox_tpu.train.state import create_train_state
+    from multibox_tpu.utils.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(0)
+    priors = np.sort(
+        rng.uniform(0.05, 0.95, (8, 2, 2)).astype(np.float32), axis=1
+    ).reshape(8, 4)
+    cfg = Config(input_size=75, num_priors=8, compute_dtype="float32",
+                 max_detections=5, detect_score_threshold=0.0)
+    model = build_model(cfg, 8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 8)
+    ckpt_dir = str(root / "ckpt")
+    mgr = CheckpointManager(ckpt_dir, save_every=1)
+    mgr.save(1, state, force=True)
+    mgr.wait()
+    mgr.close()
+    priors_path = str(root / "priors.pkl")
+    save_priors(priors, priors_path)
+    import yaml
+
+    cfg_path = str(root / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"INPUT_SIZE": 75, "NUM_PRIORS": 8,
+                        "compute_dtype": "float32", "max_detections": 5,
+                        "detect_score_threshold": 0.0}, f)
+
+    from multibox_tpu.cli.export import main
+
+    out_dir = str(root / "export")
+    assert main([
+        "--checkpoint_path", ckpt_dir, "--priors", priors_path,
+        "--output_dir", out_dir, "--config", cfg_path, "--batch_size", "2",
+    ]) == 0
+    return out_dir
+
+
+def test_load_and_run(export_dir):
+    from multibox_tpu.serving import load_exported
+
+    det = load_exported(export_dir)
+    assert det.batch_size == 2
+    assert det.input_size == 75
+    out = det(np.zeros((2, 75, 75, 3), np.float32))
+    assert out["boxes"].shape == (2, 5, 4)
+    assert np.isfinite(out["scores"]).all()
+
+
+def test_batch_split_and_pad(export_dir):
+    from multibox_tpu.serving import load_exported
+
+    det = load_exported(export_dir)
+    # 5 images through a batch-2 export: 2+2+1(padded)
+    out = det(np.zeros((5, 75, 75, 3), np.float32))
+    assert out["boxes"].shape == (5, 5, 4)
+    assert out["num"].shape == (5,)
+
+
+def test_exported_matches_live_model(export_dir):
+    """The exported artifact must reproduce the live pipeline bit-for-bit."""
+    from multibox_tpu.serving import load_exported
+
+    det = load_exported(export_dir)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (2, 75, 75, 3)).astype(np.float32)
+    out = det(x)
+    # Live path: restore the same checkpoint and run make_detect_fn.
+    import os
+
+    from multibox_tpu.inference import build_model, make_detect_fn
+    from multibox_tpu.train.state import create_train_state
+    from multibox_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = det.config
+    model = build_model(cfg, 8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 8)
+    ckpt_dir = os.path.join(os.path.dirname(export_dir), "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(state)
+    mgr.close()
+    live = make_detect_fn(cfg, jnp.asarray(det.priors))
+    want = live(state.detect_variables(), jnp.asarray(x))
+    np.testing.assert_allclose(out["boxes"], np.asarray(want["boxes"]), atol=1e-6)
+    np.testing.assert_allclose(out["scores"], np.asarray(want["scores"]), atol=1e-6)
