@@ -3,6 +3,7 @@
 from multibox_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    make_parallel_detect_fn,
     make_parallel_train_step,
     replicate_state,
 )
@@ -10,6 +11,7 @@ from multibox_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "shard_batch",
+    "make_parallel_detect_fn",
     "make_parallel_train_step",
     "replicate_state",
 ]

@@ -49,6 +49,17 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.device_put(state, replicated(mesh))
 
 
+def make_parallel_detect_fn(detect_fn, mesh: Mesh, axis: str = "data"):
+    """Shard batched detection over the mesh: variables replicated, images
+    and all detection outputs sharded on the batch axis (BASELINE
+    configs[1] "batched detection ... vectorized NMS" at multi-chip scale)."""
+    state_s = replicated(mesh)
+    batch_s = batch_sharding(mesh, axis)
+    return jax.jit(
+        detect_fn, in_shardings=(state_s, batch_s), out_shardings=batch_s
+    )
+
+
 def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
     """jit the single-device train step over the mesh.
 

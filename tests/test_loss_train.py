@@ -240,3 +240,38 @@ def test_parallel_matches_single_device():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_parallel_detect_on_fake_mesh(tiny_setup):
+    """Sharded batched detection over the 8-device mesh matches
+    single-device results exactly (inference mode: no BN chaos)."""
+    from multibox_tpu.inference import make_detect_fn, build_model, postprocess
+    from multibox_tpu.parallel.mesh import (
+        make_mesh, make_parallel_detect_fn, replicated, shard_batch,
+    )
+
+    cfg, model, state, step, batch = tiny_setup
+    rng = np.random.default_rng(11)
+    priors = jnp.asarray(np.sort(
+        rng.uniform(0.05, 0.95, (8, 2, 2)).astype(np.float32), axis=1
+    ).reshape(8, 4))
+
+    def detect(variables, images):
+        loc, conf = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, images, train=False)
+        return postprocess(loc, conf, priors, cfg)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    images = jnp.asarray(rng.uniform(-1, 1, (8, 75, 75, 3)).astype(np.float32))
+    want = jax.jit(detect)(variables, images)
+
+    mesh = make_mesh(jax.devices())
+    pdetect = make_parallel_detect_fn(detect, mesh)
+    got = pdetect(
+        jax.device_put(variables, replicated(mesh)), shard_batch(images, mesh)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["boxes"]), np.asarray(want["boxes"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got["num"]), np.asarray(want["num"]))

@@ -150,3 +150,23 @@ def test_match_priors_batched_vmap(rng):
     assert assignment.shape == (B, G)
     counts = np.asarray(conf_t).sum(axis=1)
     np.testing.assert_allclose(counts, [5, 3, 0, 1])
+
+
+def test_hybrid_matching_prefers_confident_prior(rng):
+    """1412.1441 §2.1 loss-aware matching: with two near-equal-IoU priors,
+    the one already predicting high confidence wins under hybrid benefit."""
+    gt = jnp.array([[0.4, 0.4, 0.6, 0.6]])
+    priors = jnp.array([
+        [0.40, 0.40, 0.60, 0.61],   # IoU ~0.95
+        [0.40, 0.39, 0.60, 0.60],   # IoU ~0.95
+        [0.0, 0.0, 0.1, 0.1],
+    ])
+    conf = jnp.array([-2.0, 2.0, -2.0])  # prior 1 is confident
+    b_iou = matching.compute_benefit(gt, priors)
+    b_hybrid = matching.compute_benefit(
+        gt, priors, conf_logits=conf, conf_weight=0.5
+    )
+    pure = int(matching.greedy_match(b_iou, jnp.int32(1))[0])
+    hybrid = int(matching.greedy_match(b_hybrid, jnp.int32(1))[0])
+    assert hybrid == 1  # confidence term dominates the tiny IoU gap
+    assert pure in (0, 1)
