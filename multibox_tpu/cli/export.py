@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--saved_model", action="store_true",
                         help="also write a TF SavedModel via jax2tf")
+    parser.add_argument("--fold_bn", action="store_true",
+                        help="fold BatchNorm into conv weights (fewer ops "
+                             "in the exported graph; ~1e-4 output delta)")
     add_config_arg(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -54,6 +57,11 @@ def main(argv=None) -> int:
         "params": state.ema_params if cfg.use_ema_for_detect else state.params,
         "batch_stats": state.batch_stats,
     }
+    if args.fold_bn:
+        from multibox_tpu.models.inception_v3 import fold_batch_norms
+
+        variables = fold_batch_norms(variables)
+        model = build_model(cfg, priors.shape[0], folded=True)
     variables = jax.tree.map(np.asarray, variables)
     priors_j = jnp.asarray(priors)
 

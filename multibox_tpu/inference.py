@@ -25,10 +25,14 @@ from multibox_tpu.ops import boxes as box_ops
 from multibox_tpu.ops.nms import batched_nms
 
 
-def build_model(cfg: Config, num_priors: int) -> MultiBoxDetector:
+def build_model(cfg: Config, num_priors: int, folded: bool = False) -> MultiBoxDetector:
     """Construct the detector module from a config (single source of truth
-    for model hyperparameters across train / detect / export)."""
+    for model hyperparameters across train / detect / export).
+
+    ``folded=True`` builds the inference-only BN-folded variant (use with
+    params from ``models.inception_v3.fold_batch_norms``)."""
     return MultiBoxDetector(
+        folded=folded,
         num_priors=num_priors,
         head_type=cfg.head_type,
         num_classes=cfg.num_classes,

@@ -38,6 +38,7 @@ class MultiBoxDetector(nn.Module):
     num_classes: int = 1
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    folded: bool = False  # inference-only BN-folded backbone
     bottleneck_features: int = 96
     ssd_endpoints: tuple = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
     ssd_priors_per_cell: int = 6
@@ -47,6 +48,7 @@ class MultiBoxDetector(nn.Module):
         endpoints = InceptionV3(
             compute_dtype=self.compute_dtype,
             bn_momentum=self.bn_momentum,
+            folded=self.folded,
             name="InceptionV3",
         )(images, train=train)
         if self.head_type == "multibox":

@@ -62,6 +62,9 @@ class ConvBN(nn.Module):
     # slim's 0.9997 assumes ~100k-step schedules; short runs need a lower
     # momentum or the inference-mode stats stay at their init values.
     bn_momentum: float = 0.9997
+    # folded=True: inference-only variant with BN pre-folded into the conv
+    # (Conv gains a bias, no BatchNorm op) — see fold_batch_norms.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,18 +73,19 @@ class ConvBN(nn.Module):
             tuple(self.kernel),
             strides=tuple(self.strides),
             padding=self.padding,
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.compute_dtype,
             name="Conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=1e-3,
-            use_scale=False,  # slim default: γ fixed at 1
-            dtype=self.compute_dtype,
-            name="BatchNorm",
-        )(x)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-3,
+                use_scale=False,  # slim default: γ fixed at 1
+                dtype=self.compute_dtype,
+                name="BatchNorm",
+            )(x)
         return nn.relu(x)
 
 
@@ -102,19 +106,20 @@ class InceptionA(nn.Module):
     pool_features: int
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
-        b0 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_0/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(48, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(64, (5, 5), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0b_5x5")(b1, train)
-        b2 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0a_1x1")(x, train)
-        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0b_3x3")(b2, train)
-        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0c_3x3")(b2, train)
+        b0 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(48, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(64, (5, 5), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0b_5x5")(b1, train)
+        b2 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0b_3x3")(b2, train)
+        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0c_3x3")(b2, train)
         b3 = _avg_pool_3x3_same(x)
         b3 = ConvBN(
-            self.pool_features, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_3/Conv2d_0b_1x1"
+            self.pool_features, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_3/Conv2d_0b_1x1"
         )(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -124,19 +129,20 @@ class ReductionA(nn.Module):
 
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
         b0 = ConvBN(
             384, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, name="Branch_0/Conv2d_1a_1x1",
+            bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_0/Conv2d_1a_1x1",
         )(x, train)
-        b1 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0b_3x3")(b1, train)
+        b1 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0b_3x3")(b1, train)
         b1 = ConvBN(
             96, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_1a_1x1",
+            bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_1a_1x1",
         )(b1, train)
         b2 = _max_pool(x, 3, 2)
         return jnp.concatenate([b0, b1, b2], axis=-1)
@@ -148,22 +154,23 @@ class InceptionB(nn.Module):
     channels_7x7: int
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
         c7 = self.channels_7x7
-        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_0/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0b_1x7")(b1, train)
-        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0c_7x1")(b1, train)
-        b2 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0a_1x1")(x, train)
-        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0b_7x1")(b2, train)
-        b2 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0c_1x7")(b2, train)
-        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0d_7x1")(b2, train)
-        b2 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0e_1x7")(b2, train)
+        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0c_7x1")(b1, train)
+        b2 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0b_7x1")(b2, train)
+        b2 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0c_1x7")(b2, train)
+        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0d_7x1")(b2, train)
+        b2 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0e_1x7")(b2, train)
         b3 = _avg_pool_3x3_same(x)
-        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_3/Conv2d_0b_1x1")(b3, train)
+        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_3/Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -172,21 +179,22 @@ class ReductionB(nn.Module):
 
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
-        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_0/Conv2d_0a_1x1")(x, train)
         b0 = ConvBN(
             320, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, name="Branch_0/Conv2d_1a_3x3",
+            bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_0/Conv2d_1a_3x3",
         )(b0, train)
-        b1 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0b_1x7")(b1, train)
-        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0c_7x1")(b1, train)
+        b1 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0c_7x1")(b1, train)
         b1 = ConvBN(
             192, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_1a_3x3",
+            bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_1a_3x3",
         )(b1, train)
         b2 = _max_pool(x, 3, 2)
         return jnp.concatenate([b0, b1, b2], axis=-1)
@@ -197,25 +205,26 @@ class InceptionC(nn.Module):
 
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
-        b0 = ConvBN(320, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b0 = ConvBN(320, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_0/Conv2d_0a_1x1")(x, train)
 
-        b1 = ConvBN(384, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0b_1x3")(b1, train)
-        b1b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_1/Conv2d_0b_3x1")(b1, train)
+        b1 = ConvBN(384, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0b_1x3")(b1, train)
+        b1b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_1/Conv2d_0b_3x1")(b1, train)
         b1 = jnp.concatenate([b1a, b1b], axis=-1)
 
-        b2 = ConvBN(448, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0a_1x1")(x, train)
-        b2 = ConvBN(384, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0b_3x3")(b2, train)
-        b2a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0c_1x3")(b2, train)
-        b2b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_2/Conv2d_0d_3x1")(b2, train)
+        b2 = ConvBN(448, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(384, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0b_3x3")(b2, train)
+        b2a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0c_1x3")(b2, train)
+        b2b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_2/Conv2d_0d_3x1")(b2, train)
         b2 = jnp.concatenate([b2a, b2b], axis=-1)
 
         b3 = _avg_pool_3x3_same(x)
-        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, name="Branch_3/Conv2d_0b_1x1")(b3, train)
+        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, name="Branch_3/Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -231,6 +240,7 @@ class InceptionV3(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     final_endpoint: str = "Mixed_7c"
     bn_momentum: float = 0.9997
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -243,19 +253,19 @@ class InceptionV3(nn.Module):
             return name == self.final_endpoint
 
         # Stem: 299×299×3 → 35×35×192
-        x = ConvBN(32, (3, 3), (2, 2), "VALID", dt, bn, name="Conv2d_1a_3x3")(x, train)
+        x = ConvBN(32, (3, 3), (2, 2), "VALID", dt, bn, self.folded, name="Conv2d_1a_3x3")(x, train)
         eps["Conv2d_1a_3x3"] = x
         if done("Conv2d_1a_3x3"):
             return eps
-        x = ConvBN(32, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, name="Conv2d_2a_3x3")(x, train)
+        x = ConvBN(32, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_2a_3x3")(x, train)
         eps["Conv2d_2a_3x3"] = x
-        x = ConvBN(64, (3, 3), compute_dtype=dt, bn_momentum=bn, name="Conv2d_2b_3x3")(x, train)
+        x = ConvBN(64, (3, 3), compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_2b_3x3")(x, train)
         eps["Conv2d_2b_3x3"] = x
         x = _max_pool(x, 3, 2)
         eps["MaxPool_3a_3x3"] = x
-        x = ConvBN(80, (1, 1), padding="VALID", compute_dtype=dt, bn_momentum=bn, name="Conv2d_3b_1x1")(x, train)
+        x = ConvBN(80, (1, 1), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_3b_1x1")(x, train)
         eps["Conv2d_3b_1x1"] = x
-        x = ConvBN(192, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, name="Conv2d_4a_3x3")(x, train)
+        x = ConvBN(192, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_4a_3x3")(x, train)
         eps["Conv2d_4a_3x3"] = x
         x = _max_pool(x, 3, 2)
         eps["MaxPool_5a_3x3"] = x
@@ -266,12 +276,12 @@ class InceptionV3(nn.Module):
             ("Mixed_5c", 64),
             ("Mixed_5d", 64),
         ):
-            x = InceptionA(pool_features, compute_dtype=dt, bn_momentum=bn, name=name)(x, train)
+            x = InceptionA(pool_features, compute_dtype=dt, bn_momentum=bn, folded=self.folded, name=name)(x, train)
             eps[name] = x
             if done(name):
                 return eps
 
-        x = ReductionA(compute_dtype=dt, bn_momentum=bn, name="Mixed_6a")(x, train)
+        x = ReductionA(compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Mixed_6a")(x, train)
         eps["Mixed_6a"] = x
 
         # 17×17 blocks
@@ -281,17 +291,17 @@ class InceptionV3(nn.Module):
             ("Mixed_6d", 160),
             ("Mixed_6e", 192),
         ):
-            x = InceptionB(c7, compute_dtype=dt, bn_momentum=bn, name=name)(x, train)
+            x = InceptionB(c7, compute_dtype=dt, bn_momentum=bn, folded=self.folded, name=name)(x, train)
             eps[name] = x
             if done(name):
                 return eps
 
-        x = ReductionB(compute_dtype=dt, bn_momentum=bn, name="Mixed_7a")(x, train)
+        x = ReductionB(compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Mixed_7a")(x, train)
         eps["Mixed_7a"] = x
 
         # 8×8 blocks
         for name in ("Mixed_7b", "Mixed_7c"):
-            x = InceptionC(compute_dtype=dt, bn_momentum=bn, name=name)(x, train)
+            x = InceptionC(compute_dtype=dt, bn_momentum=bn, folded=self.folded, name=name)(x, train)
             eps[name] = x
             if done(name):
                 return eps
@@ -301,3 +311,42 @@ class InceptionV3(nn.Module):
 def preprocess_slim(images_uint8: jnp.ndarray) -> jnp.ndarray:
     """slim input scaling: uint8 [0,255] → float [−1, 1]."""
     return (images_uint8.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+
+
+def fold_batch_norms(variables):
+    """Fold BN statistics into conv weights for the ``folded=True`` model.
+
+    ``BN(conv(x)) = conv'(x) + b'`` with ``w' = w·s`` and ``b' = β − μ·s``
+    where ``s = 1/√(σ²+ε)`` (γ fixed at 1, slim style). Returns a params
+    dict for the folded model variant (Conv has a bias, no BatchNorm op) —
+    94 normalization passes eliminated at inference.
+    """
+    import flax
+
+    params = flax.traverse_util.flatten_dict(variables["params"])
+    stats = flax.traverse_util.flatten_dict(variables.get("batch_stats", {}))
+    eps = 1e-3
+    out_params = {}
+    for key, value in params.items():
+        if key[-2:] == ("Conv", "kernel"):
+            unit = key[:-2]
+            bn_var = unit + ("BatchNorm", "var")
+            if bn_var in stats:
+                scale = 1.0 / jnp.sqrt(stats[bn_var].astype(jnp.float32) + eps)
+                out_params[key] = (
+                    value.astype(jnp.float32) * scale
+                ).astype(value.dtype)
+                continue
+        if key[-2:] == ("BatchNorm", "bias"):
+            unit = key[:-2]
+            bn_mean = unit + ("BatchNorm", "mean")
+            bn_var = unit + ("BatchNorm", "var")
+            if bn_mean in stats:
+                scale = 1.0 / jnp.sqrt(stats[bn_var].astype(jnp.float32) + eps)
+                bias = value.astype(jnp.float32) - stats[bn_mean].astype(
+                    jnp.float32
+                ) * scale
+                out_params[unit + ("Conv", "bias")] = bias.astype(value.dtype)
+                continue
+        out_params[key] = value
+    return {"params": flax.traverse_util.unflatten_dict(out_params)}

@@ -103,3 +103,32 @@ def test_forward_parity_vs_keras(backbone_f32):
     np.testing.assert_allclose(got, want, atol=1e-4)
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert corr > 0.999999, corr
+
+
+def test_bn_folding_matches_unfolded(backbone_f32):
+    """Folded (Conv+bias, no BN) forward == eval-mode BN forward."""
+    from multibox_tpu.models.inception_v3 import fold_batch_norms
+
+    model, variables = backbone_f32
+    rng = np.random.default_rng(3)
+    # Give the BN stats non-trivial values so folding is actually exercised.
+    import flax
+
+    stats = flax.traverse_util.flatten_dict(variables["batch_stats"])
+    r2 = np.random.default_rng(5)
+    stats = {
+        k: jnp.asarray(r2.uniform(0.5, 1.5, v.shape).astype(np.float32))
+        if k[-1] == "var"
+        else jnp.asarray(r2.normal(0, 0.2, v.shape).astype(np.float32))
+        for k, v in stats.items()
+    }
+    variables = dict(variables)
+    variables["batch_stats"] = flax.traverse_util.unflatten_dict(stats)
+
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 75, 75, 3)).astype(np.float32))
+    want = model.apply(variables, x)["Mixed_7c"]
+
+    folded_model = InceptionV3(compute_dtype=jnp.float32, folded=True)
+    folded_vars = fold_batch_norms(variables)
+    got = folded_model.apply(folded_vars, x)["Mixed_7c"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
