@@ -23,6 +23,9 @@ def main(argv=None) -> int:
     parser.add_argument("--pretrained_model", default=None,
                         help="slim ckpt prefix or keras .h5 to warm-start the backbone")
     parser.add_argument("--max_number_of_steps", type=int, default=None)
+    parser.add_argument("--eval_tfrecords", nargs="+", default=None,
+                        help="validation tfrecords for periodic AP eval")
+    parser.add_argument("--eval_every_steps", type=int, default=1000)
     parser.add_argument("--no_mesh", action="store_true",
                         help="force single-device even with multiple devices visible")
     add_config_arg(parser)
@@ -43,6 +46,10 @@ def main(argv=None) -> int:
         pretrained_model=args.pretrained_model,
         max_steps=args.max_number_of_steps,
         use_mesh=not args.no_mesh,
+        eval_tfrecords=(
+            expand_tfrecords(args.eval_tfrecords) if args.eval_tfrecords else None
+        ),
+        eval_every_steps=args.eval_every_steps,
     )
     return 0
 

@@ -5,6 +5,11 @@ the spec; see its docstring). The win over the jnp/XLA formulation: boxes,
 scores and the live-mask stay resident in VMEM across all K suppression
 iterations — one kernel instead of K fused-op rounds through HBM.
 
+Measured on v5e: wins single-image at large P (1.30 vs 1.55 ms at P=1024,
+K=100) but LOSES under vmap (batched grid cells serialize: 7.1 vs 2.6 ms at
+B=8, P=512) — which is why ``use_pallas`` defaults to False for the batched
+detect pipeline. Verified exact-match vs the jnp path on real hardware.
+
 Mosaic-lowering constraints shape the implementation (pallas_guide.md):
 - everything is 2D ``(1, Ppad)`` lanes-last (1D iota doesn't lower; TPU
   tiles are (sublane, 128));

@@ -68,6 +68,45 @@ def make_augmented_train_step(cfg: Config, model, priors):
     return step
 
 
+def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords):
+    """Run detection + AP over a validation set from the current state."""
+    import jax.numpy as jnp
+
+    from multibox_tpu.data.augment import preprocess_eval
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.evaluate import evaluate_detections
+    from multibox_tpu.inference import make_detect_fn
+
+    detect = make_detect_fn(cfg, priors)
+    preprocess = jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size))
+    variables = state.detect_variables()
+    dataset = DetectionDataset(
+        eval_tfrecords,
+        batch_size=cfg.batch_size,
+        canvas_size=cfg.input_size,
+        max_num_bboxes=cfg.max_num_bboxes,
+    )
+    results, gt = [], {}
+    for batch in dataset:
+        det = detect(variables, preprocess(jnp.asarray(batch["images"])))
+        boxes = np.asarray(det["boxes"])
+        scores = np.asarray(det["scores"])
+        nums = np.asarray(det["num"])
+        for i in range(int(batch["batch_valid"])):
+            n = int(nums[i])
+            results.append(
+                {
+                    "image_id": batch["image_ids"][i],
+                    "boxes": boxes[i, :n],
+                    "scores": scores[i, :n],
+                }
+            )
+            gt[batch["image_ids"][i]] = np.asarray(
+                batch["boxes"][i][: batch["num_boxes"][i]], np.float64
+            )
+    return evaluate_detections(results, gt)
+
+
 def train(
     cfg: Config,
     tfrecords: Sequence[str],
@@ -77,6 +116,8 @@ def train(
     max_steps: Optional[int] = None,
     use_mesh: bool = True,
     canvas_size: Optional[int] = None,
+    eval_tfrecords: Optional[Sequence[str]] = None,
+    eval_every_steps: int = 0,
 ) -> TrainState:
     """Run training; returns the final state. Resumes from logdir if a
     checkpoint exists (reference Supervisor behavior)."""
@@ -172,6 +213,20 @@ def train(
                     "step %d loss=%.4f (conf=%.4f loc=%.4f) %.1f img/s",
                     step_idx, metrics["loss"], metrics["loss_conf"],
                     metrics["loss_loc"], ips,
+                )
+            if (
+                eval_tfrecords
+                and eval_every_steps
+                and step_idx % eval_every_steps == 0
+            ):
+                metrics = evaluate_state(cfg, state, priors, eval_tfrecords)
+                writer.write(
+                    step_idx, {f"eval/{k}": v for k, v in metrics.items()}
+                )
+                log.info(
+                    "eval @%d: AP@0.5=%.3f mAP=%.3f recall=%.3f",
+                    step_idx, metrics["AP@0.5"], metrics["mAP@[.5:.95]"],
+                    metrics["recall@0.5"],
                 )
             ckpt.save(step_idx, state)
         ckpt.wait()

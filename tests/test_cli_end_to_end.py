@@ -256,3 +256,22 @@ def test_11_train_with_profiler(workdir, tmp_path):
     ]) == 0
     trace_dir = os.path.join(logdir, "plugins", "profile")
     assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+
+
+def test_12_train_with_periodic_eval(workdir, tmp_path):
+    """--eval_tfrecords runs AP eval during training, logged to metrics."""
+    from multibox_tpu.cli.train import main
+
+    logdir = str(tmp_path / "evallogs")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--logdir", logdir, "--config", workdir["config"],
+        "--no_mesh", "--max_number_of_steps", "4",
+        "--eval_tfrecords", workdir["tfrecord"],
+        "--eval_every_steps", "2",
+    ]) == 0
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    eval_lines = [l for l in lines if "eval/AP@0.5" in l]
+    assert len(eval_lines) == 2  # steps 2 and 4
+    assert all(np.isfinite(l["eval/AP@0.5"]) for l in eval_lines)
