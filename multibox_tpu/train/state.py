@@ -112,13 +112,21 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
     tx = make_optimizer(cfg)
     priors = jnp.asarray(priors, jnp.float32)
 
-    def loss_fn(params, batch_stats, batch):
-        (loc, conf), updates = model.apply(
+    def forward(params, batch_stats, images):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["images"],
+            images,
             train=True,
             mutable=["batch_stats"],
         )
+
+    if cfg.remat:
+        # jax.checkpoint: recompute backbone activations in the backward
+        # pass instead of stashing them — HBM for FLOPs (cfg.remat).
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, batch):
+        (loc, conf), updates = forward(params, batch_stats, batch["images"])
         total, metrics = multibox_loss(
             loc,
             conf,

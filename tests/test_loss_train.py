@@ -275,3 +275,24 @@ def test_parallel_detect_on_fake_mesh(tiny_setup):
         np.asarray(got["boxes"]), np.asarray(want["boxes"]), atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(got["num"]), np.asarray(want["num"]))
+
+
+def test_remat_train_step_matches(tiny_setup):
+    """cfg.remat recomputes activations: same update, less memory."""
+    import dataclasses
+    from multibox_tpu.train import create_train_state, make_train_step
+
+    cfg, model, state, step, batch = tiny_setup
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    state_a = create_train_state(cfg, model, jax.random.PRNGKey(4), 8)
+    state_b = jax.tree.map(jnp.copy, state_a)
+    priors = jnp.asarray(np.sort(
+        np.random.default_rng(0).uniform(0.05, 0.95, (8, 2, 2)).astype(np.float32),
+        axis=1).reshape(8, 4))
+    sa, ma = jax.jit(make_train_step(cfg, model, priors))(state_a, batch)
+    sb, mb = jax.jit(make_train_step(cfg_r, model, priors))(state_b, batch)
+    # remat moves XLA fusion boundaries; train-mode BN reductions reorder,
+    # so f32 outputs agree only approximately (same chaos as the DP test).
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=2e-2)
+    assert np.isfinite(float(mb["loss"]))
+    assert int(sb.step) == int(sa.step)
