@@ -23,6 +23,8 @@ class Config:
     # --- model ---
     input_size: int = 299
     num_priors: int = 256
+    backbone: str = "inception_v3"  # "inception_v3" | "mobilenet_v2"
+    mobilenet_width: float = 1.0
     head_type: str = "multibox"  # "multibox" | "ssd"
     num_classes: int = 1
     bottleneck_features: int = 96

@@ -34,6 +34,8 @@ def build_model(cfg: Config, num_priors: int, folded: bool = False) -> MultiBoxD
     return MultiBoxDetector(
         folded=folded,
         num_priors=num_priors,
+        backbone=cfg.backbone,
+        mobilenet_width=cfg.mobilenet_width,
         head_type=cfg.head_type,
         num_classes=cfg.num_classes,
         compute_dtype=jnp.bfloat16

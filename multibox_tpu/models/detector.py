@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from multibox_tpu.models.heads import MultiBoxHead, SSDHead
 from multibox_tpu.models.inception_v3 import InceptionV3
+from multibox_tpu.models.mobilenet import MobileNetV2
 
 
 class MultiBoxDetector(nn.Module):
@@ -34,6 +35,8 @@ class MultiBoxDetector(nn.Module):
     """
 
     num_priors: int
+    backbone: str = "inception_v3"  # "inception_v3" | "mobilenet_v2"
+    mobilenet_width: float = 1.0
     head_type: str = "multibox"
     num_classes: int = 1
     compute_dtype: Any = jnp.bfloat16
@@ -45,17 +48,30 @@ class MultiBoxDetector(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        endpoints = InceptionV3(
-            compute_dtype=self.compute_dtype,
-            bn_momentum=self.bn_momentum,
-            folded=self.folded,
-            name="InceptionV3",
-        )(images, train=train)
+        if self.backbone == "inception_v3":
+            endpoints = InceptionV3(
+                compute_dtype=self.compute_dtype,
+                bn_momentum=self.bn_momentum,
+                folded=self.folded,
+                name="InceptionV3",
+            )(images, train=train)
+            final_endpoint = "Mixed_7c"
+        elif self.backbone == "mobilenet_v2":
+            endpoints = MobileNetV2(
+                width=self.mobilenet_width,
+                compute_dtype=self.compute_dtype,
+                bn_momentum=self.bn_momentum,
+                name="MobileNetV2",
+            )(images, train=train)
+            final_endpoint = "Final"
+        else:
+            raise ValueError(f"unknown backbone: {self.backbone}")
         if self.head_type == "multibox":
             head = MultiBoxHead(
                 num_priors=self.num_priors,
                 num_classes=self.num_classes,
                 bottleneck_features=self.bottleneck_features,
+                endpoint=final_endpoint,
                 compute_dtype=self.compute_dtype,
                 name="MultiBoxHead",
             )

@@ -1,0 +1,140 @@
+"""MobileNetV2-style backbone (flax, NHWC, TPU-first).
+
+Second backbone family: the reference's exported graph fed a *mobile*
+detector downstream (ref:export.py / SURVEY.md §2 C13), so an edge-class
+backbone is a first-class citizen here. Implements the inverted-residual
+architecture of Sandler et al., "MobileNetV2: Inverted Residuals and
+Linear Bottlenecks" (arXiv:1801.04381) with named endpoints compatible
+with the detection heads (single-scale ``Final`` endpoint for the
+MultiBox FC head; three pyramid endpoints for the SSD head).
+
+TPU note: depthwise convs don't use the MXU (they're VPU work), but the
+model is ~10× fewer FLOPs than Inception-v3 — latency-optimized serving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# (expansion t, channels c, repeats n, stride s) per arXiv:1801.04381 Table 2.
+_INVERTED_RESIDUAL_SPEC = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+)
+
+# Endpoints exposed to heads: taken after the last block of the marked
+# stages (stride 8 / 16 / 32 pyramid), plus the final 1x1-conv features.
+ENDPOINTS = ("Stage_2", "Stage_4", "Stage_6", "Final")
+
+
+class ConvBNRelu6(nn.Module):
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    compute_dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.997
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.compute_dtype,
+            name="Conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-3,
+            dtype=self.compute_dtype,
+            name="BatchNorm",
+        )(x)
+        if self.relu:
+            x = jnp.minimum(nn.relu(x), 6.0)
+        return x
+
+
+class InvertedResidual(nn.Module):
+    features: int
+    stride: int
+    expand: int
+    compute_dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.997
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        cin = x.shape[-1]
+        h = x
+        if self.expand != 1:
+            h = ConvBNRelu6(
+                cin * self.expand, (1, 1), compute_dtype=dt,
+                bn_momentum=self.bn_momentum, name="Expand",
+            )(h, train)
+        h = ConvBNRelu6(
+            h.shape[-1], (3, 3), strides=(self.stride, self.stride),
+            groups=h.shape[-1], compute_dtype=dt,
+            bn_momentum=self.bn_momentum, name="Depthwise",
+        )(h, train)
+        h = ConvBNRelu6(
+            self.features, (1, 1), compute_dtype=dt,
+            bn_momentum=self.bn_momentum, relu=False, name="Project",
+        )(h, train)
+        if self.stride == 1 and cin == self.features:
+            h = h + x
+        return h
+
+
+class MobileNetV2(nn.Module):
+    """MobileNetV2 feature extractor with named endpoints.
+
+    Input ``[B, S, S, 3]`` in [-1, 1]; ``Final`` is the 1280-channel
+    feature map at stride 32 (e.g. 10×10 for a 320 input, 7×7 for 224).
+    """
+
+    width: float = 1.0
+    compute_dtype: Any = jnp.bfloat16
+    bn_momentum: float = 0.997
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        dt = self.compute_dtype
+        x = x.astype(dt)
+
+        def c(ch):
+            ch = int(ch * self.width)
+            return max((ch + 4) // 8 * 8, 8)  # round to multiple of 8
+
+        eps: Dict[str, jnp.ndarray] = {}
+        x = ConvBNRelu6(
+            c(32), (3, 3), strides=(2, 2), compute_dtype=dt,
+            bn_momentum=self.bn_momentum, name="Stem",
+        )(x, train)
+        for stage, (t, ch, n, s) in enumerate(_INVERTED_RESIDUAL_SPEC):
+            for i in range(n):
+                x = InvertedResidual(
+                    c(ch), s if i == 0 else 1, t, compute_dtype=dt,
+                    bn_momentum=self.bn_momentum,
+                    name=f"Stage_{stage}/Block_{i}",
+                )(x, train)
+            eps[f"Stage_{stage}"] = x
+        x = ConvBNRelu6(
+            max(c(1280), 1280), (1, 1), compute_dtype=dt,
+            bn_momentum=self.bn_momentum, name="Head",
+        )(x, train)
+        eps["Final"] = x
+        return eps

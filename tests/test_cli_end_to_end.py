@@ -275,3 +275,31 @@ def test_12_train_with_periodic_eval(workdir, tmp_path):
     eval_lines = [l for l in lines if "eval/AP@0.5" in l]
     assert len(eval_lines) == 2  # steps 2 and 4
     assert all(np.isfinite(l["eval/AP@0.5"]) for l in eval_lines)
+
+
+def test_13_detect_cli_sharded_over_mesh(workdir, tmp_path):
+    """Detect CLI shards over the 8-device mesh when batch divides devices;
+    results must match the single-device path."""
+    import jax
+    import yaml
+    from multibox_tpu.cli.detect import main
+
+    assert len(jax.devices()) == 8
+    cfg = yaml.safe_load(open(workdir["config"]))
+    cfg["BATCH_SIZE"] = 8  # divisible by 8 devices -> mesh path
+    cfg_path = str(tmp_path / "mesh.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    out = str(tmp_path / "det_mesh.pkl")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", str(workdir["root"] / "priors.pkl"),
+        "--checkpoint_path", workdir["logdir"],
+        "--output", out, "--config", cfg_path,
+    ]) == 0
+    mesh_results = {r["image_id"]: r for r in pickle.load(open(out, "rb"))}
+    single = {r["image_id"]: r for r in pickle.load(open(workdir["detections"], "rb"))}
+    assert set(mesh_results) == set(single)
+    for img_id in single:
+        np.testing.assert_allclose(
+            mesh_results[img_id]["boxes"], single[img_id]["boxes"], atol=1e-4
+        )
