@@ -70,6 +70,7 @@ class Config:
     color_distort: bool = True
     brightness_max_delta: float = 0.125
     contrast_range: Sequence[float] = (0.5, 1.5)
+    hue_max_delta: float = 0.05  # fraction of a full hue rotation; 0 = off
 
     # --- detection / NMS ---
     detect_score_threshold: float = 0.01

@@ -222,8 +222,12 @@ def sample_crop_window(
 
 
 def color_distort(key: jax.Array, images: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """Brightness / contrast / saturation jitter on float images in [0, 1]."""
-    kb, kc, ks = jax.random.split(key, 3)
+    """Brightness / contrast / saturation / hue jitter on floats in [0, 1].
+
+    Hue uses the YIQ rotation formulation — a pure 3×3 matmul per pixel
+    (TPU-friendly; equivalent to tf.image.adjust_hue up to gamut clipping).
+    """
+    kb, kc, ks, kh = jax.random.split(key, 4)
     B = images.shape[0]
 
     delta = jax.random.uniform(
@@ -242,7 +246,37 @@ def color_distort(key: jax.Array, images: jnp.ndarray, cfg: Config) -> jnp.ndarr
     gray = jnp.mean(images, axis=-1, keepdims=True)
     images = gray + (images - gray) * s
 
+    if cfg.hue_max_delta > 0:
+        theta = jax.random.uniform(
+            kh, (B,), minval=-cfg.hue_max_delta, maxval=cfg.hue_max_delta
+        ) * (2.0 * jnp.pi)
+        images = _rotate_hue(images, theta)
+
     return jnp.clip(images, 0.0, 1.0)
+
+
+# RGB↔YIQ (NTSC) — hue rotation is a rotation of the IQ chroma plane.
+_RGB_TO_YIQ = jnp.array(
+    [[0.299, 0.587, 0.114],
+     [0.596, -0.274, -0.322],
+     [0.211, -0.523, 0.312]], jnp.float32
+)
+_YIQ_TO_RGB = jnp.array(
+    [[1.0, 0.956, 0.621],
+     [1.0, -0.272, -0.647],
+     [1.0, -1.106, 1.703]], jnp.float32
+)
+
+
+def _rotate_hue(images: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Rotate hue by per-image angle theta (radians). images [B,H,W,3]."""
+    cos = jnp.cos(theta)[:, None, None]
+    sin = jnp.sin(theta)[:, None, None]
+    yiq = jnp.einsum("bhwc,dc->bhwd", images, _RGB_TO_YIQ)
+    y = yiq[..., 0]
+    i = yiq[..., 1] * cos - yiq[..., 2] * sin
+    q = yiq[..., 1] * sin + yiq[..., 2] * cos
+    return jnp.einsum("bhwc,dc->bhwd", jnp.stack([y, i, q], -1), _YIQ_TO_RGB)
 
 
 def augment_batch(

@@ -332,3 +332,20 @@ def test_pad_boxes():
     assert out.shape == (5, 4) and n == 2
     out, n = pad_boxes(np.ones((9, 4)), 5)
     assert out.shape == (5, 4) and n == 5
+
+
+def test_hue_rotation_identity_and_parity(rng):
+    """Zero rotation is identity; rotation matches tf.image.adjust_hue."""
+    from multibox_tpu.data.augment import _rotate_hue
+
+    img = jnp.array(rng.uniform(0.2, 0.8, (1, 8, 8, 3)).astype(np.float32))
+    out0 = _rotate_hue(img, jnp.zeros((1,)))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-5)
+
+    tf = pytest.importorskip("tensorflow")
+    delta = 0.1  # fraction of full rotation
+    ours = np.clip(np.asarray(
+        _rotate_hue(img, jnp.full((1,), delta * 2 * np.pi))), 0, 1)
+    tfs = tf.image.adjust_hue(img[0], delta).numpy()[None]
+    # YIQ rotation vs TF's HSV shift: same transform up to gamut handling.
+    assert np.abs(ours - tfs).mean() < 0.03

@@ -97,3 +97,38 @@ def test_exported_matches_live_model(export_dir):
     want = live(state.detect_variables(), jnp.asarray(x))
     np.testing.assert_allclose(out["boxes"], np.asarray(want["boxes"]), atol=1e-6)
     np.testing.assert_allclose(out["scores"], np.asarray(want["scores"]), atol=1e-6)
+
+
+def test_saved_model_export(export_dir, tmp_path):
+    """--saved_model writes a TF SavedModel via jax2tf that runs and matches."""
+    tf = pytest.importorskip("tensorflow")
+    import os
+
+    from multibox_tpu.cli.export import main
+
+    root = os.path.dirname(export_dir)
+    out_dir = str(tmp_path / "export_tf")
+    assert main([
+        "--checkpoint_path", os.path.join(root, "ckpt"),
+        "--priors", os.path.join(root, "priors.pkl"),
+        "--output_dir", out_dir,
+        "--config", os.path.join(root, "cfg.yaml"),
+        "--batch_size", "2", "--saved_model",
+    ]) == 0
+    sm_dir = os.path.join(out_dir, "saved_model")
+    assert os.path.isdir(sm_dir)
+    module = tf.saved_model.load(sm_dir)
+    x = np.zeros((2, 75, 75, 3), np.float32)
+    tf_out = module.detect(tf.constant(x))
+    # Compare against the StableHLO artifact from the same weights.
+    from multibox_tpu.serving import load_exported
+
+    det = load_exported(export_dir)
+    want = det(x)
+    got_boxes = None
+    for t in (tf_out.values() if isinstance(tf_out, dict) else tf_out):
+        arr = np.asarray(t)
+        if arr.shape == want["boxes"].shape:
+            got_boxes = arr
+    assert got_boxes is not None
+    np.testing.assert_allclose(got_boxes, want["boxes"], atol=1e-5)
