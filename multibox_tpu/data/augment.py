@@ -261,10 +261,12 @@ _RGB_TO_YIQ = jnp.array(
      [0.596, -0.274, -0.322],
      [0.211, -0.523, 0.312]], jnp.float32
 )
-_YIQ_TO_RGB = jnp.array(
-    [[1.0, 0.956, 0.621],
-     [1.0, -0.272, -0.647],
-     [1.0, -1.106, 1.703]], jnp.float32
+# Exact inverse (the textbook 3-decimal YIQ→RGB matrix is only an
+# approximation; with it, zero rotation wouldn't be the identity).
+import numpy as _np
+
+_YIQ_TO_RGB = jnp.asarray(
+    _np.linalg.inv(_np.asarray(_RGB_TO_YIQ)), jnp.float32
 )
 
 
