@@ -334,18 +334,26 @@ def test_pad_boxes():
     assert out.shape == (5, 4) and n == 5
 
 
-def test_hue_rotation_identity_and_parity(rng):
-    """Zero rotation is identity; rotation matches tf.image.adjust_hue."""
-    from multibox_tpu.data.augment import _rotate_hue
+def test_hue_rotation_properties(rng):
+    """Structural checks: zero/full rotation are identity; luma preserved;
+    grays are fixed points. (YIQ rotation is a different — smoother —
+    transform than TF's HSV channel shift, so no elementwise TF parity.)"""
+    from multibox_tpu.data.augment import _rotate_hue, _RGB_TO_YIQ
 
     img = jnp.array(rng.uniform(0.2, 0.8, (1, 8, 8, 3)).astype(np.float32))
     out0 = _rotate_hue(img, jnp.zeros((1,)))
     np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-5)
+    out_full = _rotate_hue(img, jnp.full((1,), 2 * np.pi))
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(img), atol=1e-4)
 
-    tf = pytest.importorskip("tensorflow")
-    delta = 0.1  # fraction of full rotation
-    ours = np.clip(np.asarray(
-        _rotate_hue(img, jnp.full((1,), delta * 2 * np.pi))), 0, 1)
-    tfs = tf.image.adjust_hue(img[0], delta).numpy()[None]
-    # YIQ rotation vs TF's HSV shift: same transform up to gamut handling.
-    assert np.abs(ours - tfs).mean() < 0.03
+    rotated = _rotate_hue(img, jnp.full((1,), 1.0))
+    assert float(jnp.abs(rotated - img).mean()) > 0.01  # actually does something
+    # Luma (Y) is invariant under chroma-plane rotation.
+    y_in = jnp.einsum("bhwc,c->bhw", img, _RGB_TO_YIQ[0])
+    y_out = jnp.einsum("bhwc,c->bhw", rotated, _RGB_TO_YIQ[0])
+    np.testing.assert_allclose(np.asarray(y_out), np.asarray(y_in), atol=1e-4)
+    # Grays have zero chroma: fixed points of any rotation.
+    gray = jnp.full((1, 4, 4, 3), 0.5)
+    np.testing.assert_allclose(
+        np.asarray(_rotate_hue(gray, jnp.full((1,), 2.0))), 0.5, atol=1e-5
+    )
