@@ -21,4 +21,37 @@ Layout
 
 from multibox_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare `import multibox_tpu` cheap)."""
+    if name == "Config":
+        from multibox_tpu.config import Config
+
+        return Config
+    if name == "parse_config_file":
+        from multibox_tpu.config import parse_config_file
+
+        return parse_config_file
+    if name == "build_model":
+        from multibox_tpu.inference import build_model
+
+        return build_model
+    if name == "make_detect_fn":
+        from multibox_tpu.inference import make_detect_fn
+
+        return make_detect_fn
+    if name == "load_exported":
+        from multibox_tpu.serving import load_exported
+
+        return load_exported
+    raise AttributeError(f"module 'multibox_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "__version__",
+    "Config",
+    "parse_config_file",
+    "build_model",
+    "make_detect_fn",
+    "load_exported",
+]
