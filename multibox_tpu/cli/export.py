@@ -58,6 +58,10 @@ def main(argv=None) -> int:
         "batch_stats": state.batch_stats,
     }
     if args.fold_bn:
+        if cfg.backbone != "inception_v3":
+            raise SystemExit(
+                "--fold_bn currently supports only the inception_v3 backbone"
+            )
         from multibox_tpu.models.inception_v3 import fold_batch_norms
 
         variables = fold_batch_norms(variables)

@@ -33,15 +33,14 @@ def decode_jpeg(
         if canvas is not None:
             img = _resize_np(img, canvas)
         return img
-    if backend in ("auto", "native"):
-        try:
-            from multibox_tpu.data import _native
+    if backend == "native":
+        # Explicit opt-in only: the native resize is plain bilinear while
+        # PIL antialiases, so "auto" must not silently change pixels based
+        # on whether the optional .so was built. PIL (libjpeg-turbo) is
+        # also the faster single-thread decoder on this class of host.
+        from multibox_tpu.data import _native
 
-            if _native.available():
-                return _native.decode_jpeg(data, canvas)
-        except Exception:
-            if backend == "native":
-                raise
+        return _native.decode_jpeg(data, canvas)
     from PIL import Image
 
     img = Image.open(io.BytesIO(data)).convert("RGB")

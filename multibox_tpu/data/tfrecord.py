@@ -117,7 +117,9 @@ def read_records(
             from multibox_tpu.data import _native
 
             if _native.available():
-                yield from _native.read_records(list(map(str, paths)))
+                yield from _native.read_records(
+                    list(map(str, paths)), verify_crc=verify_crc
+                )
                 return
         except Exception:
             if use_native:

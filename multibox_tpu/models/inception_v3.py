@@ -259,16 +259,28 @@ class InceptionV3(nn.Module):
             return eps
         x = ConvBN(32, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_2a_3x3")(x, train)
         eps["Conv2d_2a_3x3"] = x
+        if done("Conv2d_2a_3x3"):
+            return eps
         x = ConvBN(64, (3, 3), compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_2b_3x3")(x, train)
         eps["Conv2d_2b_3x3"] = x
+        if done("Conv2d_2b_3x3"):
+            return eps
         x = _max_pool(x, 3, 2)
         eps["MaxPool_3a_3x3"] = x
+        if done("MaxPool_3a_3x3"):
+            return eps
         x = ConvBN(80, (1, 1), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_3b_1x1")(x, train)
         eps["Conv2d_3b_1x1"] = x
+        if done("Conv2d_3b_1x1"):
+            return eps
         x = ConvBN(192, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Conv2d_4a_3x3")(x, train)
         eps["Conv2d_4a_3x3"] = x
+        if done("Conv2d_4a_3x3"):
+            return eps
         x = _max_pool(x, 3, 2)
         eps["MaxPool_5a_3x3"] = x
+        if done("MaxPool_5a_3x3"):
+            return eps
 
         # 35×35 blocks
         for name, pool_features in (
@@ -283,6 +295,8 @@ class InceptionV3(nn.Module):
 
         x = ReductionA(compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Mixed_6a")(x, train)
         eps["Mixed_6a"] = x
+        if done("Mixed_6a"):
+            return eps
 
         # 17×17 blocks
         for name, c7 in (
@@ -298,6 +312,8 @@ class InceptionV3(nn.Module):
 
         x = ReductionB(compute_dtype=dt, bn_momentum=bn, folded=self.folded, name="Mixed_7a")(x, train)
         eps["Mixed_7a"] = x
+        if done("Mixed_7a"):
+            return eps
 
         # 8×8 blocks
         for name in ("Mixed_7b", "Mixed_7c"):

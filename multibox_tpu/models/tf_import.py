@@ -135,6 +135,9 @@ def _slim_name(unit: str) -> str:
         return "Mixed_5c/Branch_1/Conv2d_0b_1x1"
     if unit == "Mixed_5c/Branch_1/Conv2d_0b_5x5":
         return "Mixed_5c/Branch_1/Conv_1_0c_5x5"
+    # slim quirk: Mixed_7c/Branch_1 names its 3x1 conv 0c (Mixed_7b uses 0b).
+    if unit == "Mixed_7c/Branch_1/Conv2d_0b_3x1":
+        return "Mixed_7c/Branch_1/Conv2d_0c_3x1"
     return unit
 
 

@@ -73,7 +73,9 @@ uint8_t* mbx_decode_jpeg(const uint8_t* data, uint64_t size, int canvas,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
-  uint8_t* pixels = nullptr;
+  // volatile: modified between setjmp and longjmp — a plain local would
+  // have indeterminate value after longjmp (UB: stale free or leak).
+  uint8_t* volatile pixels = nullptr;
 
   if (setjmp(jerr.jump)) {
     if (errbuf && errbuf_len > 0) {
@@ -107,8 +109,9 @@ uint8_t* mbx_decode_jpeg(const uint8_t* data, uint64_t size, int canvas,
   const int h = cinfo.output_height;
   const int w = cinfo.output_width;
   pixels = static_cast<uint8_t*>(malloc(static_cast<size_t>(h) * w * 3));
+  uint8_t* const buf = pixels;  // non-volatile alias for the hot loop
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = pixels + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    uint8_t* row = buf + static_cast<size_t>(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -117,15 +120,15 @@ uint8_t* mbx_decode_jpeg(const uint8_t* data, uint64_t size, int canvas,
   if (canvas > 0 && (h != canvas || w != canvas)) {
     uint8_t* out =
         static_cast<uint8_t*>(malloc(static_cast<size_t>(canvas) * canvas * 3));
-    resize_bilinear(pixels, h, w, out, canvas);
-    free(pixels);
+    resize_bilinear(buf, h, w, out, canvas);
+    free(buf);
     *height = canvas;
     *width = canvas;
     return out;
   }
   *height = h;
   *width = w;
-  return pixels;
+  return buf;
 }
 
 void mbx_free_image(uint8_t* data) { free(data); }

@@ -168,7 +168,10 @@ class RecordStream {
           Fail("corrupt length crc in " + path);
           return;
         }
-        if (pos + 12 + length + 4 > f.size) {
+        // Overflow-safe: `length` comes from the file; `pos+12+length+4`
+        // could wrap for a corrupt huge value and pass a naive check.
+        const size_t remaining = f.size - (pos + 12);
+        if (remaining < 4 || length > remaining - 4) {
           Fail("truncated record in " + path);
           return;
         }

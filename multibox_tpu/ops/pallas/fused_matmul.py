@@ -166,17 +166,17 @@ def fused_matmul_bias_relu(x, w, b, relu: bool = True):
 
 def _fwd(x, w, b, relu):
     y = _fused_forward(x, w, b, relu)
-    return y, (x, w, y)
+    return y, (x, w, b, y)
 
 
 def _bwd(relu, residuals, g):
-    x, w, y = residuals
+    x, w, b, y = residuals
     if relu:
         g = jnp.where(y > 0, g, 0.0)
     g32 = g.astype(jnp.float32)
     dx = (g32 @ w.astype(jnp.float32).T).astype(x.dtype)
     dw = (x.astype(jnp.float32).T @ g32).astype(w.dtype)
-    db = jnp.sum(g32, axis=0).astype(jnp.float32)
+    db = jnp.sum(g32, axis=0).astype(b.dtype)  # cotangent must match primal
     return dx, dw, db
 
 

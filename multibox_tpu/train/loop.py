@@ -68,8 +68,13 @@ def make_augmented_train_step(cfg: Config, model, priors):
     return step
 
 
-def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords):
-    """Run detection + AP over a validation set from the current state."""
+def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
+                   _fn_cache={}):
+    """Run detection + AP over a validation set from the current state.
+
+    The jitted detect/preprocess functions are cached per config identity —
+    re-tracing every periodic eval would pay a fresh (remote) compile.
+    """
     import jax.numpy as jnp
 
     from multibox_tpu.data.augment import preprocess_eval
@@ -77,8 +82,13 @@ def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords):
     from multibox_tpu.evaluate import evaluate_detections
     from multibox_tpu.inference import make_detect_fn
 
-    detect = make_detect_fn(cfg, priors)
-    preprocess = jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size))
+    key = id(cfg)
+    if key not in _fn_cache:
+        _fn_cache[key] = (
+            make_detect_fn(cfg, priors),
+            jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size)),
+        )
+    detect, preprocess = _fn_cache[key]
     variables = state.detect_variables()
     dataset = DetectionDataset(
         eval_tfrecords,

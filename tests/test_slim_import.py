@@ -58,6 +58,23 @@ def slim_ckpt(tmp_path_factory):
     return ckpt, variables, expected
 
 
+def test_slim_name_quirks_pinned():
+    """Pin the slim naming quirks as LITERALS (the checkpoint fixture uses
+    _slim_name itself, so these must be asserted independently)."""
+    from multibox_tpu.models.tf_import import _slim_name
+
+    assert _slim_name("Mixed_5c/Branch_1/Conv2d_0a_1x1") == \
+        "Mixed_5c/Branch_1/Conv2d_0b_1x1"
+    assert _slim_name("Mixed_5c/Branch_1/Conv2d_0b_5x5") == \
+        "Mixed_5c/Branch_1/Conv_1_0c_5x5"
+    # Mixed_7c renames only the second 3x1 conv of Branch_1 (7b keeps 0b).
+    assert _slim_name("Mixed_7c/Branch_1/Conv2d_0b_3x1") == \
+        "Mixed_7c/Branch_1/Conv2d_0c_3x1"
+    assert _slim_name("Mixed_7b/Branch_1/Conv2d_0b_3x1") == \
+        "Mixed_7b/Branch_1/Conv2d_0b_3x1"
+    assert _slim_name("Conv2d_1a_3x3") == "Conv2d_1a_3x3"
+
+
 def test_slim_import_raw(slim_ckpt):
     from multibox_tpu.models import tf_import
     import flax
