@@ -193,7 +193,10 @@ def hungarian_match(benefit: jnp.ndarray, num_gt: jnp.ndarray) -> jnp.ndarray:
     """
     G, P = benefit.shape
     cost = -benefit.astype(jnp.float32)
-    active = jnp.arange(G) < num_gt
+    # More gt rows than priors cannot all be assigned; clamping keeps the
+    # augmenting search from spinning on an exhausted column set (the
+    # overflow rows return -1 like padding).
+    active = jnp.arange(G) < jnp.minimum(num_gt, P)
 
     def step(carry, i):
         u, v, col4row, row4col = carry

@@ -170,3 +170,19 @@ def test_hybrid_matching_prefers_confident_prior(rng):
     hybrid = int(matching.greedy_match(b_hybrid, jnp.int32(1))[0])
     assert hybrid == 1  # confidence term dominates the tiny IoU gap
     assert pure in (0, 1)
+
+
+def test_hungarian_more_gt_than_priors(rng):
+    """num_gt > P must not hang: only P rows get assigned, rest -1."""
+    benefit = rng.uniform(0, 1, size=(6, 3)).astype(np.float32)
+    got = np.asarray(matching.hungarian_match(jnp.array(benefit), jnp.int32(6)))
+    assigned = got[got >= 0]
+    assert len(assigned) == 3
+    assert len(set(assigned.tolist())) == 3
+    assert (got[3:] == -1).all()  # overflow rows unassigned
+
+
+def test_greedy_more_gt_than_priors(rng):
+    benefit = rng.uniform(0, 1, size=(5, 2)).astype(np.float32)
+    got = np.asarray(matching.greedy_match(jnp.array(benefit), jnp.int32(5)))
+    assert (got >= 0).sum() == 2
