@@ -40,36 +40,26 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
     state = ckpt.restore(state)
     variables = state.detect_variables()
 
-    detect = make_detect_fn(cfg, priors)
     devices = jax.devices()
     if len(devices) > 1 and cfg.batch_size % len(devices) == 0:
-        # Shard detection over the mesh (variables replicated, batch split).
+        # Shard detection over the mesh (variables replicated, batch split);
+        # the detect semantics come from the same body as the jitted path.
+        from multibox_tpu.inference import make_detect_body
         from multibox_tpu.parallel.mesh import (
             make_mesh, make_parallel_detect_fn, replicated, shard_batch,
         )
-        from multibox_tpu.inference import postprocess as _pp
 
         mesh = make_mesh(devices, cfg.data_axis)
-        pri = jax.numpy.asarray(priors, jax.numpy.float32)
+        pdetect = make_parallel_detect_fn(
+            make_detect_body(cfg, priors), mesh, cfg.data_axis
+        )
+        variables = jax.device_put(variables, replicated(mesh))
 
-        def detect_fn(variables, images):
-            params = (
-                variables["ema"]
-                if cfg.use_ema_for_detect and "ema" in variables
-                else variables["params"]
-            )
-            loc, conf = model.apply(
-                {"params": params, "batch_stats": variables["batch_stats"]},
-                images, train=False,
-            )
-            return _pp(loc, conf, pri, cfg)
-
-        pdetect = make_parallel_detect_fn(detect_fn, mesh, cfg.data_axis)
-        variables = jax.device_put(variables, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
-
-        def detect(v, images):  # noqa: F811 — mesh-sharded variant
+        def detect(v, images):
             return pdetect(v, shard_batch(images, mesh, cfg.data_axis))
+
+    else:
+        detect = make_detect_fn(cfg, priors)
 
     preprocess = jax.jit(
         lambda imgs: preprocess_eval(imgs, cfg.input_size)

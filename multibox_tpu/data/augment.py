@@ -256,18 +256,19 @@ def color_distort(key: jax.Array, images: jnp.ndarray, cfg: Config) -> jnp.ndarr
 
 
 # RGB↔YIQ (NTSC) — hue rotation is a rotation of the IQ chroma plane.
-_RGB_TO_YIQ = jnp.array(
+# Kept as plain numpy: module-level jnp arrays would force backend init and
+# device transfers at import time (expensive on the remote platform); they
+# become traced constants inside the jitted program either way.
+import numpy as _np
+
+_RGB_TO_YIQ = _np.array(
     [[0.299, 0.587, 0.114],
      [0.596, -0.274, -0.322],
-     [0.211, -0.523, 0.312]], jnp.float32
+     [0.211, -0.523, 0.312]], _np.float32
 )
 # Exact inverse (the textbook 3-decimal YIQ→RGB matrix is only an
 # approximation; with it, zero rotation wouldn't be the identity).
-import numpy as _np
-
-_YIQ_TO_RGB = jnp.asarray(
-    _np.linalg.inv(_np.asarray(_RGB_TO_YIQ)), jnp.float32
-)
+_YIQ_TO_RGB = _np.linalg.inv(_RGB_TO_YIQ).astype(_np.float32)
 
 
 def _rotate_hue(images: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:

@@ -23,8 +23,12 @@ def decode_jpeg(
 ) -> np.ndarray:
     """JPEG bytes → RGB uint8 array ``[H, W, 3]`` (or ``[canvas, canvas, 3]``).
 
-    backend: "auto" | "pil" | "tf". "tf" exists for golden parity tests;
-    "pil" (libjpeg-turbo) is the production path.
+    backend:
+      "auto"/"pil" — PIL (libjpeg-turbo), the production path; "auto"
+        never silently switches implementation based on optional builds.
+      "native" — explicit opt-in to the C++ decoder (DCT-scaled decode +
+        plain-bilinear canvas resize; raises if the .so isn't built).
+      "tf" — golden parity tests only.
     """
     if backend == "tf":
         import tensorflow as tf

@@ -113,16 +113,22 @@ def read_records(
     if isinstance(paths, (str, os.PathLike)):
         paths = [paths]
     if use_native is None or use_native:
+        yielded_any = False
         try:
             from multibox_tpu.data import _native
 
             if _native.available():
-                yield from _native.read_records(
+                for rec in _native.read_records(
                     list(map(str, paths)), verify_crc=verify_crc
-                )
+                ):
+                    yielded_any = True
+                    yield rec
                 return
         except Exception:
-            if use_native:
+            # Fall back to the python reader only if the native path failed
+            # BEFORE producing anything — restarting mid-stream would
+            # silently duplicate already-yielded records.
+            if use_native or yielded_any:
                 raise
     for path in paths:
         yield from TFRecordReader(str(path), verify_crc=verify_crc)

@@ -112,12 +112,18 @@ def make_detect_fn(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
     ``cfg.use_ema_for_detect``, EMA params are used — the reference's
     inference behavior (SURVEY.md §5.4).
     """
+    return jax.jit(make_detect_body(cfg, priors, use_ema=use_ema))
+
+
+def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
+    """The unjitted detect step — single source of the EMA-selection and
+    postprocess semantics. ``make_detect_fn`` jits it; the mesh-sharded
+    detect path wraps it with ``parallel.make_parallel_detect_fn``."""
     model = build_model(cfg, priors.shape[0])
     priors = jnp.asarray(priors, jnp.float32)
     if use_ema is None:
         use_ema = cfg.use_ema_for_detect
 
-    @jax.jit
     def detect(variables, images):
         params = variables["params"]
         if use_ema and "ema" in variables:

@@ -76,8 +76,22 @@ class MultiBoxDetector(nn.Module):
                 name="MultiBoxHead",
             )
         elif self.head_type == "ssd":
+            ssd_endpoints = tuple(self.ssd_endpoints)
+            missing = [e for e in ssd_endpoints if e not in endpoints]
+            if missing:
+                if self.backbone == "mobilenet_v2" and ssd_endpoints == (
+                    "Mixed_5d", "Mixed_6e", "Mixed_7c",
+                ):
+                    # Inception defaults on the mobilenet backbone: map to
+                    # the equivalent stride-8/16/32 pyramid automatically.
+                    ssd_endpoints = ("Stage_2", "Stage_4", "Stage_6")
+                else:
+                    raise ValueError(
+                        f"ssd_endpoints {missing} not produced by backbone "
+                        f"{self.backbone!r}; available: {sorted(endpoints)}"
+                    )
             head = SSDHead(
-                endpoints_spec=self.ssd_endpoints,
+                endpoints_spec=ssd_endpoints,
                 priors_per_cell=self.ssd_priors_per_cell,
                 num_classes=self.num_classes,
                 compute_dtype=self.compute_dtype,

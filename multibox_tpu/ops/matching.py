@@ -189,6 +189,10 @@ def hungarian_match(benefit: jnp.ndarray, num_gt: jnp.ndarray) -> jnp.ndarray:
     active gt row is assigned a distinct prior column maximizing the total
     benefit. Padded rows (``>= num_gt``) return ``-1``.
 
+    Degenerate overflow (``num_gt > P``, infeasible for scipy): the FIRST
+    ``P`` rows are matched optimally among themselves and the rest return
+    ``-1`` — a documented truncation, not scipy's behavior (scipy raises).
+
     Returns ``[G]`` int32 prior index per gt.
     """
     G, P = benefit.shape

@@ -68,27 +68,28 @@ def make_augmented_train_step(cfg: Config, model, priors):
     return step
 
 
-def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
-                   _fn_cache={}):
-    """Run detection + AP over a validation set from the current state.
-
-    The jitted detect/preprocess functions are cached per config identity —
-    re-tracing every periodic eval would pay a fresh (remote) compile.
-    """
-    import jax.numpy as jnp
-
+def make_eval_fns(cfg: Config, priors):
+    """Build the (jitted) detect + preprocess pair for periodic eval once;
+    the train loop holds them so repeated evals reuse the same traced
+    functions instead of paying a fresh (remote) compile each time."""
     from multibox_tpu.data.augment import preprocess_eval
-    from multibox_tpu.data.pipeline import DetectionDataset
-    from multibox_tpu.evaluate import evaluate_detections
     from multibox_tpu.inference import make_detect_fn
 
-    key = id(cfg)
-    if key not in _fn_cache:
-        _fn_cache[key] = (
-            make_detect_fn(cfg, priors),
-            jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size)),
-        )
-    detect, preprocess = _fn_cache[key]
+    return (
+        make_detect_fn(cfg, priors),
+        jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size)),
+    )
+
+
+def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
+                   eval_fns=None):
+    """Run detection + AP over a validation set from the current state."""
+    import jax.numpy as jnp
+
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.evaluate import evaluate_detections
+
+    detect, preprocess = eval_fns or make_eval_fns(cfg, priors)
     variables = state.detect_variables()
     dataset = DetectionDataset(
         eval_tfrecords,
@@ -192,6 +193,7 @@ def train(
     t_last = time.time()
     step_idx = start_step
     profiling = False
+    eval_fns = None
     try:
         # NOTE: device_put stays on the main thread — a background-thread
         # put contends with step dispatch on jax's client lock and halves
@@ -229,7 +231,11 @@ def train(
                 and eval_every_steps
                 and step_idx % eval_every_steps == 0
             ):
-                metrics = evaluate_state(cfg, state, priors, eval_tfrecords)
+                if eval_fns is None:
+                    eval_fns = make_eval_fns(cfg, priors)
+                metrics = evaluate_state(
+                    cfg, state, priors, eval_tfrecords, eval_fns
+                )
                 writer.write(
                     step_idx, {f"eval/{k}": v for k, v in metrics.items()}
                 )
