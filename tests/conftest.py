@@ -22,6 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs skip recompiles (the
+# 1-core host compiles large CPU programs in minutes).
+from multibox_tpu.cli.common import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
