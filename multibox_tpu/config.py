@@ -60,6 +60,10 @@ class Config:
     keep_checkpoints: int = 3
     seed: int = 0
 
+    # --- host input pipeline (decode-bound-host knobs; see data/pipeline) ---
+    decode_draft: bool = False  # libjpeg DCT-scaled decode for train inputs
+    decode_cache_items: int = 0  # RAM-cache N decoded items across epochs
+
     # --- augmentation (train input pipeline) ---
     augment: bool = True
     random_flip: bool = True
@@ -82,7 +86,13 @@ class Config:
     data_axis: str = "data"
 
     # --- ops backend ---
-    use_pallas: bool = False  # route NMS/matching to Pallas TPU kernels
+    # Pallas TPU kernel routing. None = auto (the measured-fastest mix on
+    # a real TPU backend: Pallas batch-native NMS; XLA for matching,
+    # convs and head — BASELINE.md decision matrix); True additionally
+    # routes greedy matching and the head/1×1-conv matmuls through the
+    # Pallas kernels; False = jnp/XLA everywhere. Every kernel keeps a
+    # semantics-identical jnp fallback; auto never engages Pallas off-TPU.
+    use_pallas: Optional[bool] = None
 
     # --- debugging / observability (SURVEY.md §5.1/§5.2) ---
     debug_nans: bool = False  # jax_debug_nans toggle

@@ -23,6 +23,7 @@ from multibox_tpu.config import Config
 from multibox_tpu.models.detector import MultiBoxDetector
 from multibox_tpu.ops import boxes as box_ops
 from multibox_tpu.ops.nms import batched_nms
+from multibox_tpu.ops.pallas import resolve_use_pallas
 
 
 def build_model(cfg: Config, num_priors: int, folded: bool = False) -> MultiBoxDetector:
@@ -33,6 +34,7 @@ def build_model(cfg: Config, num_priors: int, folded: bool = False) -> MultiBoxD
     params from ``models.inception_v3.fold_batch_norms``)."""
     return MultiBoxDetector(
         folded=folded,
+        use_pallas=cfg.use_pallas,
         num_priors=num_priors,
         backbone=cfg.backbone,
         mobilenet_width=cfg.mobilenet_width,
@@ -85,7 +87,7 @@ def postprocess(
         iou_threshold=cfg.nms_iou_threshold,
         score_threshold=cfg.detect_score_threshold,
         class_ids=class_ids,
-        use_pallas=cfg.use_pallas,
+        use_pallas=resolve_use_pallas(cfg.use_pallas),
     )
     if class_ids is None:
         sel_classes = jnp.zeros(sel_scores.shape, jnp.int32)
@@ -118,7 +120,15 @@ def make_detect_fn(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
 def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
     """The unjitted detect step — single source of the EMA-selection and
     postprocess semantics. ``make_detect_fn`` jits it; the mesh-sharded
-    detect path wraps it with ``parallel.make_parallel_detect_fn``."""
+    detect path wraps it with ``parallel.make_parallel_detect_fn``.
+
+    Backbone/head compute stays on XLA's fused conv+BN+ReLU path by
+    default: measured on the v5e, the BN-folded variant is SLOWER than
+    XLA's eval-mode fusion (11.4 vs 9.2 ms/batch-32, even with the fold
+    precomputed) and the Pallas head loses at skinny batch-sized matmuls
+    (8.5 vs 8.2 ms) — see BASELINE.md "Pallas vs XLA decision matrix".
+    The Pallas wins live in postprocess (batch-native NMS) and matching.
+    """
     model = build_model(cfg, priors.shape[0])
     priors = jnp.asarray(priors, jnp.float32)
     if use_ema is None:

@@ -7,7 +7,7 @@ reference's ``model.build(inputs, cfg) → (locations, confidences)``
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -42,6 +42,7 @@ class MultiBoxDetector(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     bn_momentum: float = 0.9997
     folded: bool = False  # inference-only BN-folded backbone
+    use_pallas: Optional[bool] = None  # Pallas fused blocks (None = auto/TPU)
     bottleneck_features: int = 96
     ssd_endpoints: tuple = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
     ssd_priors_per_cell: int = 6
@@ -53,6 +54,7 @@ class MultiBoxDetector(nn.Module):
                 compute_dtype=self.compute_dtype,
                 bn_momentum=self.bn_momentum,
                 folded=self.folded,
+                use_pallas=self.use_pallas,
                 name="InceptionV3",
             )(images, train=train)
             final_endpoint = "Mixed_7c"
@@ -73,6 +75,7 @@ class MultiBoxDetector(nn.Module):
                 bottleneck_features=self.bottleneck_features,
                 endpoint=final_endpoint,
                 compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
                 name="MultiBoxHead",
             )
         elif self.head_type == "ssd":

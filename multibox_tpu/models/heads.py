@@ -20,20 +20,29 @@ Both emit ``(locations [B, P, 4], confidences [B, P] or [B, P, C])``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from multibox_tpu.models.layers import FusedConv1x1, FusedDense
+
 
 class MultiBoxHead(nn.Module):
-    """FC MultiBox head over the final endpoint (default ``Mixed_7c``)."""
+    """FC MultiBox head over the final endpoint (default ``Mixed_7c``).
+
+    All three layers route through the fused Pallas matmul kernel
+    (``ops.pallas.fused_matmul``) when ``use_pallas`` resolves true; the
+    parameter tree is identical either way (``FusedDense``/``FusedConv1x1``
+    are param-compatible with ``nn.Dense``/``nn.Conv``).
+    """
 
     num_priors: int
     num_classes: int = 1  # 1 → class-agnostic confidence [B, P]
     bottleneck_features: int = 96
     endpoint: str = "Mixed_7c"
     compute_dtype: Any = jnp.bfloat16
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
 
     @nn.compact
     def __call__(self, endpoints: Dict[str, jnp.ndarray], train: bool = False):
@@ -45,21 +54,23 @@ class MultiBoxHead(nn.Module):
         B = x.shape[0]
 
         # Shared 1×1 bottleneck keeps the FC input tractable
-        # (8·8·2048 → 8·8·96 ≈ 6k features).
-        x = nn.Conv(
-            self.bottleneck_features, (1, 1), use_bias=True,
-            dtype=jnp.float32, name="Bottleneck",
+        # (8·8·2048 → 8·8·96 ≈ 6k features). ReLU fused into the matmul
+        # epilogue on the Pallas path.
+        x = FusedConv1x1(
+            self.bottleneck_features, use_bias=True, relu=True,
+            use_pallas=self.use_pallas, dtype=jnp.float32, name="Bottleneck",
         )(x)
-        x = nn.relu(x)
         x = x.reshape(B, -1)
 
-        loc = nn.Dense(
-            self.num_priors * 4, dtype=jnp.float32, name="Locations"
+        loc = FusedDense(
+            self.num_priors * 4, use_pallas=self.use_pallas,
+            dtype=jnp.float32, name="Locations",
         )(x)
         loc = loc.reshape(B, self.num_priors, 4)
 
-        conf = nn.Dense(
+        conf = FusedDense(
             self.num_priors * self.num_classes,
+            use_pallas=self.use_pallas,
             dtype=jnp.float32,
             name="Confidences",
         )(x)

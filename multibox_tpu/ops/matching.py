@@ -106,18 +106,26 @@ class _DijkstraState(NamedTuple):
     scanned_rows: jnp.ndarray  # [G] bool — rows on the alternating tree
     pred: jnp.ndarray  # [P] predecessor row per column
     sink: jnp.ndarray  # settled unassigned column, or -1
+    settled: jnp.ndarray  # columns settled so far (loop bound)
 
 
 def _augment_one_row(cost, cur_row, u, v, col4row, row4col):
     """One JV phase: Dijkstra from ``cur_row`` to the nearest unassigned
     column in the reduced-cost graph, then dual update + path augmentation.
 
-    Mirrors scipy's ``_lsap`` ``augmenting_path``/``solve`` exactly.
+    Mirrors scipy's ``_lsap`` ``augmenting_path``/``solve`` exactly — with
+    one addition: the search is BOUNDED at P settles (one column settles
+    per iteration, so a sink is unreachable beyond that) and the update/
+    augmentation steps are skipped when no sink was found. This matters
+    under ``vmap``: ``lax.cond`` executes both branches there, so the
+    "inactive row" branch of ``hungarian_match`` still runs this function
+    on an exhausted column set — unbounded, that spins forever (the round-1
+    num_gt > P hang, reincarnated batched).
     """
     G, P = cost.shape
 
     def cond(s: _DijkstraState):
-        return s.sink < 0
+        return jnp.logical_and(s.sink < 0, s.settled < P)
 
     def body(s: _DijkstraState):
         scanned_rows = s.scanned_rows.at[s.i_cur].set(True)
@@ -141,6 +149,7 @@ def _augment_one_row(cost, cur_row, u, v, col4row, row4col):
             scanned_rows=scanned_rows,
             pred=pred,
             sink=jnp.where(is_sink, j, -1),
+            settled=s.settled + 1,
         )
 
     init = _DijkstraState(
@@ -151,18 +160,23 @@ def _augment_one_row(cost, cur_row, u, v, col4row, row4col):
         scanned_rows=jnp.zeros((G,), bool),
         pred=jnp.zeros((P,), jnp.int32),
         sink=jnp.int32(-1),
+        settled=jnp.int32(0),
     )
     s = jax.lax.while_loop(cond, body, init)
     min_val, sink = s.min_val, s.sink
+    found = sink >= 0  # False only on an exhausted column set (see above)
 
-    # Dual updates (scipy _lsap.c solve()).
-    u = u.at[cur_row].add(min_val)
+    # Dual updates (scipy _lsap.c solve()) — identity when no sink found.
+    u_new = u.at[cur_row].add(min_val)
     other = jnp.logical_and(s.scanned_rows, jnp.arange(G) != cur_row)
     safe_cols = jnp.where(col4row >= 0, col4row, 0)
-    u = u + jnp.where(other, min_val - s.shortest[safe_cols], 0.0)
-    v = v - jnp.where(s.scanned_cols, min_val - s.shortest, 0.0)
+    u_new = u_new + jnp.where(other, min_val - s.shortest[safe_cols], 0.0)
+    v_new = v - jnp.where(s.scanned_cols, min_val - s.shortest, 0.0)
+    u = jnp.where(found, u_new, u)
+    v = jnp.where(found, v_new, v)
 
-    # Augment along the predecessor chain from the sink.
+    # Augment along the predecessor chain from the sink (skipped when no
+    # sink: the initial `done` flag is already True).
     def aug_cond(state):
         _, _, _, done = state
         return jnp.logical_not(done)
@@ -176,7 +190,9 @@ def _augment_one_row(cost, cur_row, u, v, col4row, row4col):
         return prev, col4row, row4col, i == cur_row
 
     _, col4row, row4col, _ = jax.lax.while_loop(
-        aug_cond, aug_body, (sink, col4row, row4col, jnp.bool_(False))
+        aug_cond,
+        aug_body,
+        (sink, col4row, row4col, jnp.logical_not(found)),
     )
     return u, v, col4row, row4col
 

@@ -111,9 +111,26 @@ def batched_nms(
     else:
         boxes_for_nms = boxes
 
+    if use_pallas:
+        # Batch-native kernel: images tiled onto the VPU sublane axis, the
+        # whole suppression loop VMEM-resident (ops.pallas.nms_kernel).
+        from multibox_tpu.ops.pallas import nms_kernel
+
+        _, sel_s, sel_i, nv = nms_kernel.nms_pallas_batched(
+            boxes_for_nms, scores, max_outputs, iou_threshold, score_threshold
+        )
+        out_b = jnp.where(
+            (sel_i >= 0)[..., None],
+            jnp.take_along_axis(
+                boxes, jnp.maximum(sel_i, 0)[..., None], axis=1
+            ),
+            0.0,
+        )
+        return out_b, sel_s, sel_i, nv
+
     def one(b, s, raw):
         sel_b, sel_s, sel_i, nv = nms(
-            b, s, max_outputs, iou_threshold, score_threshold, use_pallas=use_pallas
+            b, s, max_outputs, iou_threshold, score_threshold
         )
         # Return un-offset boxes gathered by selected index.
         out_b = jnp.where((sel_i >= 0)[:, None], raw[jnp.maximum(sel_i, 0)], 0.0)

@@ -14,3 +14,11 @@ def should_interpret(explicit=None) -> bool:
     if explicit is not None:
         return explicit
     return jax.default_backend() != "tpu"
+
+
+def resolve_use_pallas(flag) -> bool:
+    """Resolve a config ``use_pallas`` value: None = auto (kernels on a
+    real TPU backend, jnp fallbacks elsewhere)."""
+    if flag is None:
+        return jax.default_backend() == "tpu"
+    return bool(flag)

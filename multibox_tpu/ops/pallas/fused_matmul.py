@@ -64,6 +64,9 @@ def _fused_kernel(x_ref, w_ref, b_ref, out_ref, acc_ref, *, relu: bool,
 def _fused_forward_wres(x, w, b, relu: bool, tile_m: int = 256):
     m, k = x.shape
     _, n = w.shape
+    # Skinny-M problems (e.g. batch-sized FC heads): shrink the M tile to
+    # the problem instead of padding 8× to the default tile.
+    tile_m = min(tile_m, _round_up(max(m, 8), 8))
     mpad = _round_up(max(m, 8), tile_m)
     kpad = _round_up(max(k, 128), 128)
     npad = _round_up(max(n, 128), 128)

@@ -43,6 +43,7 @@ def multibox_loss(
     hard_negative_ratio: float = 3.0,
     encode: str = "multibox",
     gt_labels: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Batched MultiBox loss.
 
@@ -60,8 +61,16 @@ def multibox_loss(
       encode: target encoding ("multibox" residual | "ssd").
       gt_labels: ``[B, G]`` int class ids in ``[0, C)`` — required when
         ``conf_logits`` is multi-class.
+      use_pallas: ``True`` routes greedy IoU matching to the batched
+        Pallas kernel. Only applies to pure-IoU greedy matching
+        (``matching="greedy"``, ``hybrid_conf_weight=0``); other
+        configurations — and the None/auto default — use the jnp path
+        (see routing comment below for the measurements).
 
-    Returns (total_loss scalar, metrics dict).
+    Returns (total_loss scalar, metrics dict). Metrics include
+    ``num_gt_dropped``: active gt boxes that received no prior (e.g. the
+    documented ``num_gt > P`` truncation) — nonzero values mean silent
+    label loss on crowded images; raise ``num_priors``.
     """
     multiclass = conf_logits.ndim == 3
     B, P = conf_logits.shape[:2]
@@ -70,22 +79,47 @@ def multibox_loss(
         jnp.max(conf_logits, axis=-1) if multiclass else conf_logits
     )  # [B, P]
 
-    def match_one(gt, n, conf, loc):
-        return matching_ops.match_priors(
-            gt,
-            n,
-            priors,
-            conf_logits=jax.lax.stop_gradient(conf),
-            loc_preds=jax.lax.stop_gradient(loc),
-            method=matching,
-            conf_weight=hybrid_conf_weight,
-            alpha=alpha,
-            encode=encode,
+    # Explicit opt-in: measured on the v5e the kernel wins ISOLATED
+    # (loss+match 2.27 vs 8.07 ms chained, B=32 G=16 P=256 — benefit
+    # matrix VMEM-resident across all G rounds) but in the FULL train step
+    # it costs ~1–3 ms (29.4–30.4 vs 27.2–28.8 ms/step over repeated
+    # runs): inside the big fwd+bwd graph XLA schedules its matching loop
+    # well, and the pallas_call acts as a fusion barrier. Auto therefore
+    # keeps XLA here; see BASELINE.md decision matrix.
+    pallas_match = (
+        use_pallas is True
+        and matching == "greedy"
+        and not hybrid_conf_weight
+    )
+    if pallas_match:
+        # Batch-native kernel: per-image benefit matrix + G-round argmax
+        # loop fully VMEM-resident (ops.pallas.match_kernel).
+        from multibox_tpu.ops.pallas.match_kernel import (
+            greedy_match_pallas_batched,
         )
 
-    assignment, conf_t, loc_t, matched = jax.vmap(match_one)(
-        gt_boxes, num_gt, conf_agn, loc_preds
-    )
+        assignment = greedy_match_pallas_batched(gt_boxes, num_gt, priors)
+        conf_t, loc_t, matched = jax.vmap(
+            lambda a, g: matching_ops.matching_targets(a, g, priors, encode)
+        )(assignment, gt_boxes)
+    else:
+
+        def match_one(gt, n, conf, loc):
+            return matching_ops.match_priors(
+                gt,
+                n,
+                priors,
+                conf_logits=jax.lax.stop_gradient(conf),
+                loc_preds=jax.lax.stop_gradient(loc),
+                method=matching,
+                conf_weight=hybrid_conf_weight,
+                alpha=alpha,
+                encode=encode,
+            )
+
+        assignment, conf_t, loc_t, matched = jax.vmap(match_one)(
+            gt_boxes, num_gt, conf_agn, loc_preds
+        )
     # conf_t/loc_t are targets — constants w.r.t. the params.
     conf_t = jax.lax.stop_gradient(conf_t)  # [B, P]
     loc_t = jax.lax.stop_gradient(loc_t)  # [B, P, 4]
@@ -148,12 +182,20 @@ def multibox_loss(
 
     conf_loss = pos_loss + neg_loss
     total = conf_loss + alpha * loc_loss
+    # Active gt rows that received no prior: silent label loss (the
+    # documented num_gt > P truncation, or an exhausted prior set).
+    G = gt_boxes.shape[1]
+    active_gt = jnp.arange(G)[None, :] < num_gt[:, None]  # [B, G]
+    num_gt_dropped = jnp.sum(
+        jnp.logical_and(active_gt, assignment < 0).astype(jnp.float32)
+    )
     metrics = {
         "loss": total,
         "loss_conf": conf_loss,
         "loss_loc": loc_loss,
         "num_pos": jnp.sum(num_pos),
         "num_neg_kept": jnp.sum(keep),
+        "num_gt_dropped": num_gt_dropped,
     }
     return total, metrics
 

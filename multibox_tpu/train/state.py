@@ -139,6 +139,7 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
             hard_negative_ratio=cfg.hard_negative_ratio,
             encode=cfg.box_encoding,
             gt_labels=batch.get("labels"),
+            use_pallas=cfg.use_pallas,
         )
         return total, (updates["batch_stats"], metrics)
 

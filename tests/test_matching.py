@@ -186,3 +186,26 @@ def test_greedy_more_gt_than_priors(rng):
     benefit = rng.uniform(0, 1, size=(5, 2)).astype(np.float32)
     got = np.asarray(matching.greedy_match(jnp.array(benefit), jnp.int32(5)))
     assert (got >= 0).sum() == 2
+
+
+def test_vmapped_hungarian_num_gt_overflow_terminates(rng):
+    """Regression: under vmap, lax.cond runs BOTH branches, so the inactive-
+    row branch of hungarian_match used to spin forever on an exhausted
+    column set whenever any image had num_gt > P. Must terminate and match
+    the unbatched results."""
+    from tests.conftest import random_boxes
+    from multibox_tpu.ops import matching as m
+
+    priors = jnp.array(random_boxes(rng, 8))
+    gts = jnp.stack(
+        [jnp.array(random_boxes(rng, 12)) for _ in range(3)]
+    )
+    num_gt = jnp.array([12, 3, 9], jnp.int32)
+    got = jax.vmap(
+        lambda g, n: m.match_priors(g, n, priors, method="hungarian")[0]
+    )(gts, num_gt)
+    for b in range(3):
+        want = m.match_priors(
+            gts[b], num_gt[b], priors, method="hungarian"
+        )[0]
+        np.testing.assert_array_equal(np.asarray(got[b]), np.asarray(want))
