@@ -32,6 +32,13 @@ def main(argv=None) -> int:
     parser.add_argument("--output_prefix", required=True,
                         help="e.g. /data/train -> /data/train-00000-of-00002.tfrecord")
     parser.add_argument("--num_shards", type=int, default=1)
+    parser.add_argument(
+        "--store_raw_canvas", type=int, default=0, metavar="SIZE",
+        help="also store a pre-decoded SIZE×SIZE uint8 canvas per example "
+             "(image/raw): the input pipeline then skips host JPEG decode — "
+             "the right trade on decode-bound hosts (larger shards, "
+             "~SIZE²·3 bytes/example)",
+    )
     args = parser.parse_args(argv)
     setup_logging()
 
@@ -57,6 +64,9 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"{item.get('id', path)}: boxes must be normalized to [0,1]"
             )
+        raw_canvas = None
+        if args.store_raw_canvas:
+            raw_canvas = decode_jpeg(image_bytes, canvas=args.store_raw_canvas)
         writers[idx % args.num_shards].write(
             build_detection_example(
                 image_bytes,
@@ -65,6 +75,7 @@ def main(argv=None) -> int:
                 labels=item.get("labels"),
                 height=img.shape[0],
                 width=img.shape[1],
+                raw_canvas=raw_canvas,
             )
         )
         written += 1

@@ -256,18 +256,36 @@ def parse_detection_example(serialized: bytes) -> Dict:
         (0, 4), np.float32
     )
     labels = np.asarray(f.get("image/object/class/label", []), np.int64)
-    return {
+    out = {
         "image_bytes": image,
         "image_id": image_id,
         "boxes": boxes,
         "labels": labels,
     }
+    # Pre-decoded canvas shards (rebuild extension for decode-bound hosts):
+    # raw uint8 RGB at a fixed square canvas, written by
+    # `multibox-dataset --store_raw_canvas`.
+    raw = f.get("image/raw")
+    if raw:
+        size = int(f.get("image/raw_size", [0])[0])
+        if size and len(raw[0]) == size * size * 3:
+            out["raw"] = np.frombuffer(raw[0], np.uint8).reshape(
+                size, size, 3
+            )
+    return out
 
 
 def build_detection_example(
-    image_bytes: bytes, image_id: str, boxes, labels=None, height=None, width=None
+    image_bytes: bytes, image_id: str, boxes, labels=None, height=None,
+    width=None, raw_canvas=None,
 ) -> bytes:
-    """Build a standard detection Example (fixtures + dataset-builder CLI)."""
+    """Build a standard detection Example (fixtures + dataset-builder CLI).
+
+    ``raw_canvas``: optional pre-decoded square uint8 RGB array — stored as
+    ``image/raw`` + ``image/raw_size`` alongside (or instead of) the JPEG,
+    letting the input pipeline skip host JPEG decode entirely (the 1-core
+    host's bottleneck; see PARITY.md / README perf notes).
+    """
     import numpy as np
 
     boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
@@ -285,4 +303,11 @@ def build_detection_example(
     if height is not None:
         feats["image/height"] = [int(height)]
         feats["image/width"] = [int(width)]
+    if raw_canvas is not None:
+        raw_canvas = np.ascontiguousarray(raw_canvas, np.uint8)
+        s = raw_canvas.shape[0]
+        if raw_canvas.shape != (s, s, 3):
+            raise ValueError(f"raw_canvas must be square RGB, got {raw_canvas.shape}")
+        feats["image/raw"] = [raw_canvas.tobytes()]
+        feats["image/raw_size"] = [s]
     return build_example(feats)

@@ -19,7 +19,10 @@ import numpy as np
 
 
 def decode_jpeg(
-    data: bytes, canvas: Optional[int] = None, backend: str = "auto"
+    data: bytes,
+    canvas: Optional[int] = None,
+    backend: str = "auto",
+    draft: bool = False,
 ) -> np.ndarray:
     """JPEG bytes → RGB uint8 array ``[H, W, 3]`` (or ``[canvas, canvas, 3]``).
 
@@ -29,6 +32,14 @@ def decode_jpeg(
       "native" — explicit opt-in to the C++ decoder (DCT-scaled decode +
         plain-bilinear canvas resize; raises if the .so isn't built).
       "tf" — golden parity tests only.
+
+    draft: with a ``canvas``, enable libjpeg DCT-scaled decode (PIL draft
+      mode): the image is decoded directly at the nearest ≥canvas power-of-
+      two fraction (1/2, 1/4, 1/8) by reading fewer DCT blocks, then
+      bilinear-resized to the canvas. Large decode speedup when source
+      images are much bigger than the canvas (typical photos); pixels
+      differ slightly from the full-decode path, so this is a TRAINING
+      input option, not for eval/golden parity.
     """
     if backend == "tf":
         import tensorflow as tf
@@ -47,7 +58,10 @@ def decode_jpeg(
         return _native.decode_jpeg(data, canvas)
     from PIL import Image
 
-    img = Image.open(io.BytesIO(data)).convert("RGB")
+    img = Image.open(io.BytesIO(data))
+    if draft and canvas is not None:
+        img.draft("RGB", (canvas, canvas))
+    img = img.convert("RGB")
     if canvas is not None:
         img = img.resize((canvas, canvas), Image.BILINEAR)
     return np.asarray(img, dtype=np.uint8)

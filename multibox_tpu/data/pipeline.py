@@ -55,7 +55,21 @@ class DetectionDataset:
         repeat: bool = False,
         seed: int = 0,
         drop_remainder: Optional[bool] = None,
+        decode_draft: bool = False,
+        cache_items: int = 0,
     ):
+        """See class docstring. Host-decode-bound knobs (the 1-core host
+        tops out ~300 img/s of JPEG decode vs ~1,100 img/s device step):
+
+        decode_draft: libjpeg DCT-scaled decode (big win when sources are
+          much larger than the canvas; training-input option — pixels
+          differ slightly from the full-decode path).
+        cache_items: keep up to N decoded items in RAM keyed by image_id —
+          epochs after the first skip JPEG decode entirely. At canvas 330
+          an item is ~330 KB; size to the host's memory. 0 = off.
+        Records carrying a pre-decoded ``image/raw`` canvas (see
+        ``multibox-dataset --store_raw_canvas``) always skip decode.
+        """
         self.paths = list(map(str, tfrecord_paths))
         self.batch_size = batch_size
         self.canvas_size = canvas_size
@@ -65,47 +79,75 @@ class DetectionDataset:
         self.num_decode_threads = num_decode_threads
         self.repeat = repeat
         self.seed = seed
+        self.decode_draft = decode_draft
+        self.cache_items = cache_items
+        self._cache: Dict[str, Dict] = {}
         # Train-style usage (repeat) keeps static batch shapes; one-shot
         # eval pads the final partial batch instead of dropping it.
         self.drop_remainder = repeat if drop_remainder is None else drop_remainder
 
     def _records(self) -> Iterator[bytes]:
-        epoch = 0
         rng = np.random.default_rng(self.seed)
+        if not self.shuffle:
+            while True:
+                yield from read_records(list(self.paths))
+                if not self.repeat:
+                    return
+        # Reservoir shuffle with a PERSISTENT buffer: when repeating, the
+        # buffer stays warm across epoch boundaries so late-epoch-N records
+        # mix with early-epoch-N+1 records (draining it every epoch would
+        # weaken cross-epoch mixing — round-1 review finding).
+        buf: List[bytes] = []
         while True:
             paths = list(self.paths)
-            if self.shuffle:
-                rng.shuffle(paths)
-            if self.shuffle:
-                buf: List[bytes] = []
-                for rec in read_records(paths):
-                    buf.append(rec)
-                    if len(buf) >= self.shuffle_buffer:
-                        idx = rng.integers(len(buf))
-                        buf[idx], buf[-1] = buf[-1], buf[idx]
-                        yield buf.pop()
+            rng.shuffle(paths)
+            for rec in read_records(paths):
+                buf.append(rec)
+                if len(buf) >= self.shuffle_buffer:
+                    idx = rng.integers(len(buf))
+                    buf[idx], buf[-1] = buf[-1], buf[idx]
+                    yield buf.pop()
+            if not self.repeat:
                 rng.shuffle(buf)
                 yield from buf
-            else:
-                yield from read_records(paths)
-            epoch += 1
-            if not self.repeat:
                 return
 
     def _decode_one(self, record: bytes) -> Dict:
         ex = parse_detection_example(record)
-        image = jpeg_mod.decode_jpeg(ex["image_bytes"], canvas=self.canvas_size)
+        if self.cache_items:
+            cached = self._cache.get(ex["image_id"])
+            if cached is not None:
+                return cached
+        raw = ex.get("raw")
+        if raw is not None:
+            # Pre-decoded canvas shard: no JPEG decode on this host at all.
+            image = (
+                raw
+                if raw.shape[0] == self.canvas_size
+                else jpeg_mod._resize_np(raw, self.canvas_size)
+            )
+        else:
+            image = jpeg_mod.decode_jpeg(
+                ex["image_bytes"],
+                canvas=self.canvas_size,
+                draft=self.decode_draft,
+            )
         boxes, n = pad_boxes(ex["boxes"], self.max_num_bboxes)
         labels = np.zeros((self.max_num_bboxes,), np.int32)
         k = min(len(ex["labels"]), self.max_num_bboxes)
         labels[:k] = ex["labels"][:k]
-        return {
+        item = {
             "image": image,
             "boxes": boxes,
             "num_boxes": n,
             "image_id": ex["image_id"],
             "labels": labels,
         }
+        if self.cache_items and len(self._cache) < self.cache_items:
+            # dict set is GIL-atomic; items are treated as read-only
+            # downstream (_collate copies into the batch arrays).
+            self._cache[ex["image_id"]] = item
+        return item
 
     def _decoded(self) -> Iterator[Dict]:
         """Threaded decode with a bounded in-flight window.

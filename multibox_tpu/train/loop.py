@@ -83,9 +83,16 @@ def make_eval_fns(cfg: Config, priors):
 
 def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
                    eval_fns=None):
-    """Run detection + AP over a validation set from the current state."""
+    """Run detection + AP over a validation set from the current state.
+
+    Ground truth is read directly from the tfrecords (full box lists) —
+    NOT from the padded batch, which truncates to ``cfg.max_num_bboxes``
+    and would silently shrink the AP/recall denominator on crowded images
+    (and disagree with ``multibox-eval``, which also reads full gt).
+    """
     import jax.numpy as jnp
 
+    from multibox_tpu.cli.evaluate import load_groundtruth
     from multibox_tpu.data.pipeline import DetectionDataset
     from multibox_tpu.evaluate import evaluate_detections
 
@@ -97,7 +104,8 @@ def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
         canvas_size=cfg.input_size,
         max_num_bboxes=cfg.max_num_bboxes,
     )
-    results, gt = [], {}
+    gt = load_groundtruth(eval_tfrecords)
+    results = []
     for batch in dataset:
         det = detect(variables, preprocess(jnp.asarray(batch["images"])))
         boxes = np.asarray(det["boxes"])
@@ -111,9 +119,6 @@ def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
                     "boxes": boxes[i, :n],
                     "scores": scores[i, :n],
                 }
-            )
-            gt[batch["image_ids"][i]] = np.asarray(
-                batch["boxes"][i][: batch["num_boxes"][i]], np.float64
             )
     return evaluate_detections(results, gt)
 
@@ -175,6 +180,8 @@ def train(
         shuffle=True,
         repeat=True,
         seed=cfg.seed,
+        decode_draft=cfg.decode_draft,
+        cache_items=cfg.decode_cache_items,
     )
     writer = MetricsWriter(logdir)
     total = max_steps if max_steps is not None else cfg.max_number_of_steps
@@ -192,6 +199,7 @@ def train(
 
     t_last = time.time()
     step_idx = start_step
+    last_logged_step = start_step
     profiling = False
     eval_fns = None
     try:
@@ -217,8 +225,12 @@ def train(
             if step_idx % cfg.log_every_steps == 0 or step_idx == total:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
-                ips = cfg.batch_size * cfg.log_every_steps / max(now - t_last, 1e-9)
+                # Use the actual step count since the last log — the final
+                # log can fire on a partial interval.
+                steps_done = step_idx - last_logged_step
+                ips = cfg.batch_size * steps_done / max(now - t_last, 1e-9)
                 t_last = now
+                last_logged_step = step_idx
                 metrics["images_per_sec"] = ips
                 writer.write(step_idx, metrics)
                 log.info(

@@ -357,3 +357,125 @@ def test_hue_rotation_properties(rng):
     np.testing.assert_allclose(
         np.asarray(_rotate_hue(gray, jnp.full((1,), 2.0))), 0.5, atol=1e-5
     )
+
+
+def test_raw_canvas_roundtrip_and_pipeline_skips_decode(tmp_path, rng):
+    """image/raw shards: parse returns the canvas; the pipeline uses it
+    without JPEG decode; different-canvas datasets resize it."""
+    from multibox_tpu.data.example_proto import (
+        build_detection_example, parse_detection_example,
+    )
+    from multibox_tpu.data.jpeg import encode_jpeg
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.data.tfrecord import TFRecordWriter
+
+    canvas = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    rec = build_detection_example(
+        encode_jpeg(canvas), "raw-1", np.array([[0.1, 0.1, 0.5, 0.5]]),
+        labels=[1], raw_canvas=canvas,
+    )
+    ex = parse_detection_example(rec)
+    np.testing.assert_array_equal(ex["raw"], canvas)
+
+    path = str(tmp_path / "raw.tfrecord")
+    with TFRecordWriter(path) as w:
+        w.write(rec)
+    # Same canvas: exact passthrough, decode never runs.
+    ds = DetectionDataset([path], batch_size=1, canvas_size=64)
+    batch = next(iter(ds))
+    np.testing.assert_array_equal(batch["images"][0], canvas)
+    # Different canvas: resized from raw.
+    ds2 = DetectionDataset([path], batch_size=1, canvas_size=32)
+    batch2 = next(iter(ds2))
+    assert batch2["images"].shape == (1, 32, 32, 3)
+
+
+def test_decode_cache_serves_identical_items(tmp_path, rng):
+    """cache_items: second epoch is served from RAM with identical content."""
+    from multibox_tpu.data.example_proto import build_detection_example
+    from multibox_tpu.data.jpeg import encode_jpeg
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.data.tfrecord import TFRecordWriter
+
+    path = str(tmp_path / "c.tfrecord")
+    with TFRecordWriter(path) as w:
+        for i in range(4):
+            img = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+            w.write(build_detection_example(
+                encode_jpeg(img), f"c-{i}",
+                np.array([[0.2, 0.2, 0.6, 0.6]]), labels=[1],
+            ))
+    ds = DetectionDataset([path], batch_size=4, canvas_size=40,
+                          cache_items=16)
+    first = next(iter(ds))
+    assert len(ds._cache) == 4
+    second = next(iter(ds))
+    np.testing.assert_array_equal(first["images"], second["images"])
+    np.testing.assert_array_equal(first["boxes"], second["boxes"])
+
+
+def test_decode_draft_mode_close_to_full_decode(rng):
+    """DCT-scaled (draft) decode produces a close approximation of the
+    full-decode path at the same canvas."""
+    from multibox_tpu.data.jpeg import decode_jpeg, encode_jpeg
+
+    # Smooth image: draft-mode differences stay small.
+    y = np.linspace(0, 255, 256, dtype=np.float32)
+    img = np.stack(np.broadcast_arrays(y[:, None], y[None, :], y[:, None]),
+                   axis=-1).astype(np.uint8)
+    data = encode_jpeg(img)
+    full = decode_jpeg(data, canvas=64).astype(np.int32)
+    draft = decode_jpeg(data, canvas=64, draft=True).astype(np.int32)
+    assert np.abs(full - draft).mean() < 8.0
+
+
+def test_dataset_cli_store_raw_canvas(tmp_path, rng):
+    from multibox_tpu.cli.dataset import main
+    from multibox_tpu.data.example_proto import parse_detection_example
+    from multibox_tpu.data.jpeg import encode_jpeg
+    from multibox_tpu.data.tfrecord import read_records
+    import json
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = rng.integers(0, 255, (80, 60, 3)).astype(np.uint8)
+    (img_dir / "a.jpg").write_bytes(encode_jpeg(img))
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps([{
+        "image": "a.jpg", "id": "r-0",
+        "boxes": [[0.1, 0.1, 0.4, 0.4]], "labels": [1],
+    }]))
+    prefix = str(tmp_path / "out" / "raw")
+    assert main([
+        "--annotations", str(ann), "--image_root", str(img_dir),
+        "--output_prefix", prefix, "--num_shards", "1",
+        "--store_raw_canvas", "48",
+    ]) == 0
+    (rec,) = list(read_records([f"{prefix}-00000-of-00001.tfrecord"]))
+    ex = parse_detection_example(rec)
+    assert ex["raw"].shape == (48, 48, 3)
+
+
+def test_shuffle_buffer_persists_across_epochs(tmp_path):
+    """With repeat=True the reservoir is NOT drained at epoch boundaries:
+    consecutive records mix across epochs."""
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.data.tfrecord import TFRecordWriter
+
+    path = str(tmp_path / "s.tfrecord")
+    with TFRecordWriter(path) as w:
+        for i in range(8):
+            w.write(f"rec-{i}".encode())
+    ds = DetectionDataset([path], batch_size=1, shuffle=True,
+                          shuffle_buffer=4, repeat=True, seed=0)
+    stream = ds._records()
+    first_16 = [next(stream) for _ in range(16)]
+    # The buffer holds 4 records at every boundary, so the first "epoch's
+    # worth" of yields cannot be a permutation of the 8 records — records
+    # from epoch 2 appear among the first 8 yields' window of 12.
+    window = first_16[:12]
+    from collections import Counter
+
+    counts = Counter(window)
+    assert max(counts.values()) >= 2  # some record already repeated
+    assert set(first_16) == {f"rec-{i}".encode() for i in range(8)}
