@@ -102,7 +102,7 @@ def crop_and_resize(
 def transform_boxes_to_window(
     boxes: jnp.ndarray, num_boxes: jnp.ndarray, window: jnp.ndarray,
     min_coverage: float = 0.25,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Re-express boxes in a crop window's frame; drop boxes mostly outside.
 
     Args:
@@ -111,7 +111,9 @@ def transform_boxes_to_window(
       window: ``[4]`` normalized crop window.
       min_coverage: a box survives if ≥ this fraction of its area remains.
 
-    Returns (new_boxes ``[G, 4]`` compacted to the front, new_num scalar).
+    Returns (new_boxes ``[G, 4]`` compacted to the front, new_num scalar,
+    order ``[G]`` int32 — the compaction permutation, so callers can apply
+    the same reordering to per-box labels).
     """
     G = boxes.shape[0]
     wy0, wx0, wy1, wx1 = window[0], window[1], window[2], window[3]

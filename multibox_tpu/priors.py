@@ -151,7 +151,13 @@ def save_priors(priors: np.ndarray, path: str) -> None:
 def load_priors(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         priors = pickle.load(f)
-    priors = np.asarray(priors, dtype=np.float32)
+    try:
+        priors = np.asarray(priors, dtype=np.float32)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"{path}: not a priors pickle (expected a [P, 4] float array, "
+            f"got {type(priors).__name__})"
+        ) from e
     if priors.ndim != 2 or priors.shape[1] != 4:
         raise ValueError(f"priors must be [P, 4], got {priors.shape}")
     return priors

@@ -36,6 +36,15 @@ class ExportedDetector:
         pads/splits to the exported batch size automatically."""
         images = np.asarray(images, np.float32)
         B = images.shape[0]
+        if B == 0:
+            # Empty batch: correctly-shaped empty outputs (no chunks run).
+            probe = self.detect(
+                jnp.zeros(
+                    (self.batch_size, self.input_size, self.input_size, 3),
+                    jnp.float32,
+                )
+            )
+            return {k: np.asarray(v)[:0] for k, v in probe.items()}
         out_parts = []
         for start in range(0, B, self.batch_size):
             chunk = images[start : start + self.batch_size]
