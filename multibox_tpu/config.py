@@ -63,6 +63,15 @@ class Config:
     # --- host input pipeline (decode-bound-host knobs; see data/pipeline) ---
     decode_draft: bool = False  # libjpeg DCT-scaled decode for train inputs
     decode_cache_items: int = 0  # RAM-cache N decoded items across epochs
+    # Ship K batches per host→device transfer and run K train steps in one
+    # device call (lax.scan). On high-latency links (this container's
+    # relay: ~0.4s per transfer regardless of size) per-batch transfers
+    # dominate the step; K=8 amortizes the RTT 8×. 1 = one batch per
+    # transfer. Same data order/augmentation keys/BN-stat updates as K=1
+    # (pinned bitwise at lr=0); with lr>0 the scanned program's
+    # reassociation-level rounding diverges from the straight-line one and
+    # training chaos amplifies it — statistically equivalent, not bitwise.
+    steps_per_host_transfer: int = 1
 
     # --- augmentation (train input pipeline) ---
     augment: bool = True

@@ -68,6 +68,22 @@ def make_augmented_train_step(cfg: Config, model, priors):
     return step
 
 
+def make_chunked_step(step_fn, num_steps: int):
+    """Run ``num_steps`` train steps over a stacked superbatch in ONE
+    device call: ``lax.scan`` over the leading (chunk) axis. Amortizes the
+    per-transfer/per-dispatch cost of high-latency device links
+    (cfg.steps_per_host_transfer). Returns the LAST step's metrics."""
+
+    def chunk_step(state, superbatch):
+        def body(state, batch):
+            return step_fn(state, batch)
+
+        state, metrics = jax.lax.scan(body, state, superbatch)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return chunk_step
+
+
 def make_eval_fns(cfg: Config, priors):
     """Build the (jitted) detect + preprocess pair for periodic eval once;
     the train loop holds them so repeated evals reuse the same traced
@@ -156,8 +172,11 @@ def train(
         state = _restore_pretrained(state, pretrained_model)
 
     step_fn = make_augmented_train_step(cfg, model, priors)
+    chunk = max(1, int(cfg.steps_per_host_transfer))
     devices = jax.devices()
     if use_mesh and len(devices) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
         mesh = make_mesh(devices, cfg.data_axis)
         pstep = make_parallel_train_step(step_fn, mesh, cfg.data_axis)
         state = replicate_state(state, mesh)
@@ -165,11 +184,43 @@ def train(
         def put(batch):
             return shard_batch(batch, mesh, cfg.data_axis)
 
+        if chunk > 1:
+            # Superbatch [K, B, ...]: chunk axis unsharded, batch axis on
+            # the data mesh axis.
+            super_sharding = NamedSharding(
+                mesh, PartitionSpec(None, cfg.data_axis)
+            )
+            repl = NamedSharding(mesh, PartitionSpec())
+            cstep = jax.jit(
+                make_chunked_step(step_fn, chunk),
+                in_shardings=(repl, super_sharding),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
+
+            def put_super(sb):
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, super_sharding), sb
+                )
+
     else:
         pstep = jax.jit(step_fn, donate_argnums=(0,))
 
         def put(batch):
             return jax.device_put(batch)
+
+        if chunk > 1:
+            from multibox_tpu.utils.transfer import fast_device_put
+
+            cstep = jax.jit(
+                make_chunked_step(step_fn, chunk), donate_argnums=(0,)
+            )
+
+            def put_super(sb):
+                # Chunked transfer: a K-batch superbatch can exceed the
+                # link's large-transfer stall threshold (~64 MB on the
+                # relay); fast_device_put splits it into ≤32 MB pieces.
+                return fast_device_put(sb, devices[0])
 
     canvas = canvas_size or max(int(cfg.input_size * 1.15), cfg.input_size)
     dataset = DetectionDataset(
@@ -202,6 +253,24 @@ def train(
     last_logged_step = start_step
     profiling = False
     eval_fns = None
+    pending: list = []
+
+    def run_pending(state, pending, step_idx):
+        """Run buffered host batches: one chunked device call when a full
+        chunk is buffered, per-batch steps otherwise (the final partial
+        chunk — reuses the single-step program)."""
+        if chunk > 1 and len(pending) == chunk:
+            superbatch = {
+                k: np.stack([b[k] for b in pending]) for k in pending[0]
+            }
+            state, metrics = cstep(state, put_super(superbatch))
+            return state, metrics, step_idx + len(pending)
+        metrics = None
+        for b in pending:
+            state, metrics = pstep(state, put(b))
+            step_idx += 1
+        return state, metrics, step_idx
+
     try:
         # NOTE: device_put stays on the main thread — a background-thread
         # put contends with step dispatch on jax's client lock and halves
@@ -209,20 +278,26 @@ def train(
         for batch in Prefetcher(host_batches(), depth=3):
             if step_idx >= total:
                 break
-            device_batch = put(batch)
+            pending.append(batch)
+            if len(pending) < min(chunk, total - step_idx):
+                continue
             # Profiler window (SURVEY.md §5.1): trace steps [1, profile_steps]
             # after warmup/compile so the trace shows steady-state steps.
-            if cfg.profile_steps and step_idx == start_step + 1 and not profiling:
+            if cfg.profile_steps and step_idx >= start_step + 1 and not profiling:
                 jax.profiler.start_trace(logdir)
                 profiling = True
             if profiling and step_idx >= start_step + 1 + cfg.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
                 log.info("wrote profiler trace to %s", logdir)
-            state, metrics = pstep(state, device_batch)
-            step_idx += 1
+            prev_step = step_idx
+            state, metrics, step_idx = run_pending(state, pending, step_idx)
+            pending = []
 
-            if step_idx % cfg.log_every_steps == 0 or step_idx == total:
+            if (
+                step_idx // cfg.log_every_steps > prev_step // cfg.log_every_steps
+                or step_idx == total
+            ):
                 metrics = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
                 # Use the actual step count since the last log — the final
@@ -241,7 +316,7 @@ def train(
             if (
                 eval_tfrecords
                 and eval_every_steps
-                and step_idx % eval_every_steps == 0
+                and step_idx // eval_every_steps > prev_step // eval_every_steps
             ):
                 if eval_fns is None:
                     eval_fns = make_eval_fns(cfg, priors)
@@ -256,7 +331,13 @@ def train(
                     step_idx, metrics["AP@0.5"], metrics["mAP@[.5:.95]"],
                     metrics["recall@0.5"],
                 )
-            ckpt.save(step_idx, state)
+            if chunk > 1:
+                # step_idx advances by K: orbax's modulo cadence would
+                # never fire, so save on save_every boundary crossings.
+                if step_idx // cfg.save_every_steps > prev_step // cfg.save_every_steps:
+                    ckpt.save(step_idx, state, force=True)
+            else:
+                ckpt.save(step_idx, state)
         ckpt.wait()
         if ckpt.latest_step() != step_idx:
             ckpt.save(step_idx, state, force=True)

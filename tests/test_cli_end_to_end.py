@@ -352,3 +352,43 @@ def test_14_train_cli_over_mesh_with_resume(workdir, priors_file, tmp_path):
     assert main(args + ["--max_number_of_steps", "5"]) == 0
     lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
     assert max(l["step"] for l in lines) == 5
+
+
+def test_15_chunked_host_transfer_matches_per_step(workdir, priors_file,
+                                                   tmp_path):
+    """steps_per_host_transfer=2 (K batches per transfer, lax.scan over K
+    steps on device) through the REAL train CLI: step cadence, metric
+    logging and boundary-crossing checkpointing must be exact. (Numerical
+    agreement with K=1 is pinned in test_loss_train — losses at chaotic
+    early-training steps amplify float-reassociation noise between the
+    scanned and straight-line compilations, so they're not compared
+    here.)"""
+    from multibox_tpu.cli.train import main
+
+    cfg = yaml.safe_load(open(workdir["config"]))
+    cfg["steps_per_host_transfer"] = 2
+    cfg["log_every_steps"] = 4
+    cfg["save_every_steps"] = 4
+    cfg_path = str(tmp_path / "chunk2.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    logdir = str(tmp_path / "chunklogs2")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", priors_file,
+        "--logdir", logdir, "--config", cfg_path,
+        "--no_mesh", "--max_number_of_steps", "6",
+    ]) == 0
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    steps = [l["step"] for l in lines]
+    assert steps == [4, 6]  # crossings of log_every=4 + final step
+    assert all(np.isfinite(l["loss"]) for l in lines)
+    assert os.path.isdir(os.path.join(logdir, "4"))  # ckpt at the crossing
+    # Resume from the chunked checkpoint and finish per-step.
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", priors_file,
+        "--logdir", logdir, "--config", cfg_path,
+        "--no_mesh", "--max_number_of_steps", "7",
+    ]) == 0
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    assert max(l["step"] for l in lines) == 7

@@ -296,3 +296,73 @@ def test_remat_train_step_matches(tiny_setup):
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=2e-2)
     assert np.isfinite(float(mb["loss"]))
     assert int(sb.step) == int(sa.step)
+
+
+def test_chunked_step_matches_sequential(rng):
+    """make_chunked_step (lax.scan over a K-batch superbatch) must consume
+    the same data in the same order with the same per-step keys as K
+    sequential steps. Pinned at lr=0 where the trajectories are
+    bit-comparable: with lr>0, the scanned and straight-line programs
+    compile separately, and float-reassociation-level differences in the
+    very first update get amplified by the loss sharpness (measured: 1e-4
+    param noise → ~0.2% loss shift next step → ~8% two steps later), so
+    any lr>0 loss comparison is inherently flaky."""
+    import jax
+    import jax.numpy as jnp
+
+    from multibox_tpu.config import Config
+    from multibox_tpu.inference import build_model
+    from multibox_tpu.train import create_train_state
+    from multibox_tpu.train.loop import (
+        make_augmented_train_step,
+        make_chunked_step,
+    )
+
+    cfg = Config(
+        input_size=75, num_priors=16, batch_size=2, max_num_bboxes=4,
+        compute_dtype="float32", augment=False,
+        initial_learning_rate=0.0, rmsprop_momentum=0.0,
+    )
+    priors = jnp.array(
+        np.sort(rng.uniform(0, 1, (16, 2, 2)).astype(np.float32), axis=1)
+        .reshape(16, 4)
+    )
+    model = build_model(cfg, 16)
+    state0 = create_train_state(cfg, model, jax.random.PRNGKey(0), 16)
+    step_fn = make_augmented_train_step(cfg, model, priors)
+
+    batches = []
+    for _ in range(4):
+        batches.append({
+            "images": rng.integers(0, 255, (2, 75, 75, 3)).astype(np.uint8),
+            "boxes": np.sort(
+                rng.uniform(0, 1, (2, 4, 2, 2)).astype(np.float32), axis=2
+            ).reshape(2, 4, 4),
+            "num_boxes": np.full((2,), 2, np.int32),
+        })
+
+    pstep = jax.jit(step_fn)
+    s_seq = state0
+    for b in batches:
+        s_seq, m_seq = pstep(s_seq, jax.device_put(b))
+
+    cstep = jax.jit(make_chunked_step(step_fn, 2))
+    s_chunk = state0
+    for k in range(0, 4, 2):
+        sb = {
+            key: np.stack([b[key] for b in batches[k:k + 2]])
+            for key in batches[0]
+        }
+        s_chunk, m_chunk = cstep(s_chunk, jax.device_put(sb))
+
+    assert int(s_chunk.step) == int(s_seq.step) == 4
+    np.testing.assert_allclose(
+        float(m_chunk["loss"]), float(m_seq["loss"]), rtol=1e-6
+    )
+    # BN batch_stats DO update at lr=0 — their agreement pins data
+    # order/content equality through the scan.
+    for a, b in zip(jax.tree.leaves(s_seq.batch_stats),
+                    jax.tree.leaves(s_chunk.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
