@@ -73,9 +73,8 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
     )
     results = []
     thr = cfg.detect_score_threshold if score_threshold is None else score_threshold
-    for batch in Prefetcher(iter(dataset), depth=2):
-        images = preprocess(jnp.asarray(batch["images"]))
-        det = detect(variables, images)
+
+    def drain(batch, det):
         boxes = np.asarray(det["boxes"])
         scores = np.asarray(det["scores"])
         classes = np.asarray(det["classes"])
@@ -91,6 +90,20 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
                     "classes": classes[i, :n][keep],
                 }
             )
+
+    # 1-deep device pipeline: dispatch batch N+1's transfer+detect (async)
+    # BEFORE draining batch N's outputs to the host, so the device works
+    # while the host blocks on D2H — on a high-latency link the per-batch
+    # round trips otherwise serialize.
+    inflight = None
+    for batch in Prefetcher(iter(dataset), depth=2):
+        images = preprocess(jnp.asarray(batch["images"]))
+        det = detect(variables, images)
+        if inflight is not None:
+            drain(*inflight)
+        inflight = (batch, det)
+    if inflight is not None:
+        drain(*inflight)
     ckpt.close()
     return results
 
