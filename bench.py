@@ -1,13 +1,15 @@
 """Headline benchmark: images/sec/chip at batch-32 detect (BASELINE.json).
 
-Measures the full PRODUCTION detect pipeline (`make_detect_body`: BN-folded
-Inception-v3 with Pallas fused 1×1 conv blocks + Pallas fused head matmuls
-+ decode + batch-native Pallas NMS, all in one jitted on-device program) on
-the real TPU, plus p50 single-image latency and achieved TFLOP/s / %MFU
-from XLA's own cost analysis; compares against a TF-CPU Inception-v3
-forward measured in the same process (the reference stack is TF-CPU per
-BASELINE.json — the reference repo publishes no numbers and the mount is
-empty, so the TF-CPU forward pass is the fairest measurable stand-in).
+Measures the full PRODUCTION detect pipeline (`make_detect_body` with the
+default auto routing from BASELINE.md's measured Pallas-vs-XLA decision
+matrix: UNfolded bf16 Inception-v3 on XLA's fused conv+BN+ReLU path, XLA
+MultiBox head, box decode, and the batch-native Pallas NMS kernel — all in
+one jitted on-device program) on the real TPU, plus p50 single-image
+latency and achieved TFLOP/s / %MFU from XLA's own cost analysis; compares
+against a TF-CPU Inception-v3 forward measured in the same process (the
+reference stack is TF-CPU per BASELINE.json — the reference repo publishes
+no numbers and the mount is empty, so the TF-CPU forward pass is the
+fairest measurable stand-in).
 
 Baseline asymmetry note (stated in the JSON): the TF-CPU baseline runs ONLY
 the backbone forward — no decode/NMS/post-processing — while the rebuild
@@ -55,7 +57,7 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
     priors = jnp.asarray(priors_np)
 
     # Init through the training-form model (BN stats present), then run the
-    # production detect body (BN-folded + Pallas on TPU).
+    # production detect body (auto routing: XLA convs/head + Pallas NMS).
     model = build_model(cfg, priors_count)
     images = jnp.asarray(
         rng.uniform(-1, 1, (batch, 299, 299, 3)).astype(np.float32)

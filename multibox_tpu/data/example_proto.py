@@ -22,6 +22,7 @@ dataset-builder repo the reference points at):
 
 from __future__ import annotations
 
+import logging
 import struct
 from typing import Dict, List, Tuple, Union
 
@@ -272,7 +273,23 @@ def parse_detection_example(serialized: bytes) -> Dict:
             out["raw"] = np.frombuffer(raw[0], np.uint8).reshape(
                 size, size, 3
             )
+        else:
+            # A present-but-malformed raw canvas silently falling back to
+            # JPEG decode loses the shard's entire performance benefit;
+            # make corruption / writer-reader size mismatch visible (once).
+            global _warned_bad_raw
+            if not _warned_bad_raw:
+                _warned_bad_raw = True
+                logging.getLogger(__name__).warning(
+                    "image/raw present but malformed (raw_size=%d, %d bytes,"
+                    " expected %d) — falling back to JPEG decode; further"
+                    " occurrences suppressed",
+                    size, len(raw[0]), size * size * 3,
+                )
     return out
+
+
+_warned_bad_raw = False
 
 
 def build_detection_example(

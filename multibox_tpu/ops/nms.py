@@ -50,9 +50,13 @@ def nms(
     if use_pallas:
         from multibox_tpu.ops.pallas import nms_kernel
 
-        return nms_kernel.nms_pallas(
+        sel_b, sel_s, sel_i, nv = nms_kernel.nms_pallas(
             boxes, scores, max_outputs, iou_threshold, score_threshold
         )
+        # The kernel computes in f32 internally; match the jnp path's
+        # output signature (score dtype follows the input) so both
+        # use_pallas settings are drop-in interchangeable.
+        return sel_b, sel_s.astype(scores.dtype), sel_i, nv
     return _nms_jnp(boxes, scores, max_outputs, iou_threshold, score_threshold)
 
 
@@ -119,6 +123,7 @@ def batched_nms(
         _, sel_s, sel_i, nv = nms_kernel.nms_pallas_batched(
             boxes_for_nms, scores, max_outputs, iou_threshold, score_threshold
         )
+        sel_s = sel_s.astype(scores.dtype)  # f32 kernel → input score dtype
         out_b = jnp.where(
             (sel_i >= 0)[..., None],
             jnp.take_along_axis(

@@ -37,14 +37,20 @@ class ExportedDetector:
         images = np.asarray(images, np.float32)
         B = images.shape[0]
         if B == 0:
-            # Empty batch: correctly-shaped empty outputs (no chunks run).
-            probe = self.detect(
-                jnp.zeros(
+            # Empty batch: derive output shapes/dtypes WITHOUT executing —
+            # a real probe call would pay a fresh compile + execute on a
+            # high-latency device link just to return nothing.
+            spec = jax.eval_shape(
+                self.detect,
+                jax.ShapeDtypeStruct(
                     (self.batch_size, self.input_size, self.input_size, 3),
                     jnp.float32,
-                )
+                ),
             )
-            return {k: np.asarray(v)[:0] for k, v in probe.items()}
+            return {
+                k: np.zeros((0,) + tuple(v.shape[1:]), v.dtype)
+                for k, v in spec.items()
+            }
         out_parts = []
         for start in range(0, B, self.batch_size):
             chunk = images[start : start + self.batch_size]

@@ -13,6 +13,28 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _run_with_sigabrt_retry(code: str, env: dict):
+    """Run the driver-style subprocess; retry ONCE on SIGABRT.
+
+    The 8-device-compile child can abort under heavy host load (documented
+    flake: XLA's thread pool hits rlimits while the full suite runs in
+    parallel). A signal death is environmental, not a product failure —
+    one retry keeps the suite honest without masking real crashes (a
+    deterministic abort still fails on the retry)."""
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if proc.returncode != -6:  # -6 = killed by SIGABRT
+            return proc
+    return proc
+
+
 def _bare_env():
     """Env without any pre-staged mesh config (like the driver's, minus the
     real-TPU platform selection so tests stay off the axon relay)."""
@@ -33,14 +55,7 @@ def test_dryrun_bare_invocation_self_provisions():
     """Exactly the driver's call: backend NOT yet initialized → in-process
     provisioning (XLA_FLAGS + jax_platforms=cpu) must yield 8 devices."""
     code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        env=_bare_env(),
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
+    proc = _run_with_sigabrt_retry(code, _bare_env())
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
     assert "step ok" in proc.stdout, proc.stdout
 
@@ -53,13 +68,6 @@ def test_dryrun_after_backend_init_reexecs():
         "assert len(jax.devices()) < 8; "
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        env=_bare_env(),
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
+    proc = _run_with_sigabrt_retry(code, _bare_env())
     assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
     assert "step ok" in proc.stdout, proc.stdout
