@@ -25,12 +25,11 @@ from multibox_tpu.cli.common import (
 
 def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None):
     """Shared by detect / eval / visualize: returns a list of per-image
-    detection dicts (only valid slots, host numpy)."""
-    import jax.numpy as jnp
-
-    from multibox_tpu.data.augment import preprocess_eval
-    from multibox_tpu.data.pipeline import DetectionDataset, Prefetcher
-    from multibox_tpu.inference import build_model, make_detect_fn
+    detection dicts (only valid slots, host numpy). The host loop itself —
+    chunked transfers, 1-deep pipeline, mesh sharding — lives in
+    ``inference.run_detect_loop``."""
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.inference import build_model, run_detect_loop
     from multibox_tpu.train.state import create_train_state
     from multibox_tpu.utils.checkpoint import CheckpointManager
 
@@ -38,32 +37,6 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), priors.shape[0])
     ckpt = CheckpointManager(checkpoint_path)
     state = ckpt.restore(state)
-    variables = state.detect_variables()
-
-    devices = jax.devices()
-    if len(devices) > 1 and cfg.batch_size % len(devices) == 0:
-        # Shard detection over the mesh (variables replicated, batch split);
-        # the detect semantics come from the same body as the jitted path.
-        from multibox_tpu.inference import make_detect_body
-        from multibox_tpu.parallel.mesh import (
-            make_mesh, make_parallel_detect_fn, replicated, shard_batch,
-        )
-
-        mesh = make_mesh(devices, cfg.data_axis)
-        pdetect = make_parallel_detect_fn(
-            make_detect_body(cfg, priors), mesh, cfg.data_axis
-        )
-        variables = jax.device_put(variables, replicated(mesh))
-
-        def detect(v, images):
-            return pdetect(v, shard_batch(images, mesh, cfg.data_axis))
-
-    else:
-        detect = make_detect_fn(cfg, priors)
-
-    preprocess = jax.jit(
-        lambda imgs: preprocess_eval(imgs, cfg.input_size)
-    )
 
     dataset = DetectionDataset(
         tfrecords,
@@ -71,39 +44,10 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
         canvas_size=cfg.input_size,
         max_num_bboxes=cfg.max_num_bboxes,
     )
-    results = []
-    thr = cfg.detect_score_threshold if score_threshold is None else score_threshold
-
-    def drain(batch, det):
-        boxes = np.asarray(det["boxes"])
-        scores = np.asarray(det["scores"])
-        classes = np.asarray(det["classes"])
-        nums = np.asarray(det["num"])
-        for i in range(int(batch["batch_valid"])):
-            n = int(nums[i])
-            keep = scores[i, :n] >= thr
-            results.append(
-                {
-                    "image_id": batch["image_ids"][i],
-                    "boxes": boxes[i, :n][keep],
-                    "scores": scores[i, :n][keep],
-                    "classes": classes[i, :n][keep],
-                }
-            )
-
-    # 1-deep device pipeline: dispatch batch N+1's transfer+detect (async)
-    # BEFORE draining batch N's outputs to the host, so the device works
-    # while the host blocks on D2H — on a high-latency link the per-batch
-    # round trips otherwise serialize.
-    inflight = None
-    for batch in Prefetcher(iter(dataset), depth=2):
-        images = preprocess(jnp.asarray(batch["images"]))
-        det = detect(variables, images)
-        if inflight is not None:
-            drain(*inflight)
-        inflight = (batch, det)
-    if inflight is not None:
-        drain(*inflight)
+    results = run_detect_loop(
+        cfg, state.detect_variables(), dataset, priors,
+        score_threshold=score_threshold,
+    )
     ckpt.close()
     return results
 

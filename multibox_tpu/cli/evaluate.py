@@ -25,13 +25,17 @@ from multibox_tpu.data.tfrecord import read_records
 from multibox_tpu.evaluate import evaluate_detections
 
 
-def load_groundtruth(tfrecords, with_labels: bool = False):
+def load_groundtruth(tfrecords, with_labels: bool = False,
+                     label_offset: int = 0):
+    """image_id → gt boxes (and labels). ``label_offset`` is subtracted
+    from raw labels so they align with model class ids (cfg.label_offset —
+    1-based datasets must be shifted the same way here as in training)."""
     gt = {}
     labels = {}
     for rec in read_records(tfrecords):
         ex = parse_detection_example(rec)
         gt[ex["image_id"]] = np.asarray(ex["boxes"], np.float64)
-        labels[ex["image_id"]] = np.asarray(ex["labels"], np.int64)
+        labels[ex["image_id"]] = np.asarray(ex["labels"], np.int64) - label_offset
     return (gt, labels) if with_labels else gt
 
 
@@ -71,7 +75,10 @@ def main(argv=None) -> int:
     if args.per_class:
         from multibox_tpu.evaluate import evaluate_detections_per_class
 
-        gt, gt_labels = load_groundtruth(tfrecords, with_labels=True)
+        gt, gt_labels = load_groundtruth(
+            tfrecords, with_labels=True,
+            label_offset=load_config(args).label_offset,
+        )
         metrics = evaluate_detections_per_class(results, gt, gt_labels)
     else:
         gt = load_groundtruth(tfrecords)

@@ -46,9 +46,28 @@ class Config:
     matching: str = "greedy"  # "greedy" | "hungarian"
     hybrid_conf_weight: float = 0.0  # >0 → loss-aware (hybrid) matching
     hard_negative_ratio: float = 3.0  # negatives per positive; 0 → all
+    # Confidence loss: "bce" (reference) | "focal" (RetinaNet-style
+    # focal sigmoid CE — useful when conf training plateaus under extreme
+    # class imbalance; pair with hard_negative_ratio: 0).
+    conf_loss: str = "bce"
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    # Raw tfrecord label ids have cfg.label_offset subtracted before use —
+    # set 1 for conventional 1-based datasets (VOC/COCO with 0=background).
+    # After the offset every label must lie in [0, num_classes): the host
+    # pipeline fails loudly on violations, and the loss reports a
+    # num_bad_labels metric as defense in depth.
+    label_offset: int = 0
     initial_learning_rate: float = 0.01
     learning_rate_decay_factor: float = 0.94
     num_epochs_per_decay: float = 4.0
+    # LR schedule shape: "exponential" (slim staircase, reference parity)
+    # | "cosine". min_learning_rate floors either schedule (the staircase
+    # otherwise decays below useful magnitudes on long runs); warmup_steps
+    # prepends a linear ramp from 0.
+    lr_schedule: str = "exponential"
+    min_learning_rate: float = 0.0
+    warmup_steps: int = 0
     num_train_examples: int = 5000
     rmsprop_decay: float = 0.9
     rmsprop_epsilon: float = 1.0
@@ -90,6 +109,16 @@ class Config:
     nms_iou_threshold: float = 0.5
     max_detections: int = 100
     use_ema_for_detect: bool = True
+    # Multi-class postprocess: None = auto (per-class sweep when
+    # num_classes > 1 — the standard VOC/COCO protocol: every (prior,
+    # class) score is a candidate, NMS within each class). False = the
+    # cheaper argmax-class-per-prior approximation. Class-agnostic models
+    # ignore this.
+    per_class_detect: Optional[bool] = None
+    # Per-image candidate budget for the per-class sweep: the [P·C] score
+    # grid is top-k-pruned to this many candidates before NMS so the NMS
+    # cost stays independent of num_classes (static shapes).
+    detect_candidates: int = 1024
 
     # --- parallel ---
     data_axis: str = "data"

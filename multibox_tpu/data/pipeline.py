@@ -57,6 +57,8 @@ class DetectionDataset:
         drop_remainder: Optional[bool] = None,
         decode_draft: bool = False,
         cache_items: int = 0,
+        label_offset: int = 0,
+        num_classes: Optional[int] = None,
     ):
         """See class docstring. Host-decode-bound knobs (the 1-core host
         tops out ~300 img/s of JPEG decode vs ~1,100 img/s device step):
@@ -69,6 +71,12 @@ class DetectionDataset:
           an item is ~330 KB; size to the host's memory. 0 = off.
         Records carrying a pre-decoded ``image/raw`` canvas (see
         ``multibox-dataset --store_raw_canvas``) always skip decode.
+
+        label_offset is subtracted from raw tfrecord class labels (1 for
+        conventional 1-based datasets where 0 = background). When
+        num_classes is given, any offset label outside [0, num_classes)
+        raises — a silently out-of-range label would otherwise train real
+        objects as background (all-zero onehot at matched priors).
         """
         self.paths = list(map(str, tfrecord_paths))
         self.batch_size = batch_size
@@ -81,6 +89,8 @@ class DetectionDataset:
         self.seed = seed
         self.decode_draft = decode_draft
         self.cache_items = cache_items
+        self.label_offset = label_offset
+        self.num_classes = num_classes
         self._cache: Dict[str, Dict] = {}
         # Train-style usage (repeat) keeps static batch shapes; one-shot
         # eval pads the final partial batch instead of dropping it.
@@ -135,7 +145,17 @@ class DetectionDataset:
         boxes, n = pad_boxes(ex["boxes"], self.max_num_bboxes)
         labels = np.zeros((self.max_num_bboxes,), np.int32)
         k = min(len(ex["labels"]), self.max_num_bboxes)
-        labels[:k] = ex["labels"][:k]
+        labels[:k] = np.asarray(ex["labels"][:k], np.int64) - self.label_offset
+        if self.num_classes is not None and k:
+            bad = (labels[:k] < 0) | (labels[:k] >= self.num_classes)
+            if bad.any():
+                raise ValueError(
+                    f"image {ex['image_id']!r}: class labels "
+                    f"{sorted(set(labels[:k][bad].tolist()))} outside "
+                    f"[0, {self.num_classes}) after label_offset="
+                    f"{self.label_offset} — check the dataset's label base "
+                    "(1-based datasets need label_offset: 1) or num_classes"
+                )
         item = {
             "image": image,
             "boxes": boxes,

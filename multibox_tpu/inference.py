@@ -18,6 +18,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multibox_tpu.config import Config
 from multibox_tpu.models.detector import MultiBoxDetector
@@ -63,6 +64,11 @@ def postprocess(
       confidences: ``[B, P]`` logits (class-agnostic) or ``[B, P, C]``.
       priors: ``[P, 4]``.
 
+    Multi-class models run the standard per-class score sweep by default
+    (``cfg.per_class_detect``): each (prior, class) score is a candidate,
+    top-k-pruned to ``cfg.detect_candidates`` per image, with NMS applied
+    within each class.
+
     Returns dict with ``boxes [B, K, 4]``, ``scores [B, K]``,
     ``classes [B, K]`` (zeros when class-agnostic), ``num [B]``.
     """
@@ -75,10 +81,31 @@ def postprocess(
         scores = jax.nn.sigmoid(confidences)  # [B, P]
         class_ids = None
     else:
-        # Multi-class: per-prior best class (sigmoid per class, class-wise NMS).
         probs = jax.nn.sigmoid(confidences)  # [B, P, C]
-        scores = jnp.max(probs, axis=-1)
-        class_ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        per_class = (
+            cfg.per_class_detect if cfg.per_class_detect is not None else True
+        )
+        if per_class:
+            # Per-class score sweep (standard VOC/COCO protocol): every
+            # (prior, class) pair is a detection candidate, so one prior
+            # can emit several classes. The [P·C] grid is top-k-pruned to
+            # a static candidate budget, then a single NMS pass suppresses
+            # within each class via the class-offset trick in batched_nms.
+            B, P, C = probs.shape
+            cand = min(cfg.detect_candidates, P * C)
+            flat = probs.reshape(B, P * C)
+            scores, top_idx = jax.lax.top_k(flat, cand)  # [B, cand]
+            prior_idx = top_idx // C
+            class_ids = (top_idx % C).astype(jnp.int32)
+            boxes = jnp.take_along_axis(
+                boxes, prior_idx[..., None], axis=1
+            )  # [B, cand, 4]
+        else:
+            # Cheaper approximation: per-prior best class only — depresses
+            # per-class AP when one prior covers objects of several classes
+            # (measured on the pinned multi-class eval; see BASELINE.md).
+            scores = jnp.max(probs, axis=-1)
+            class_ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
     sel_boxes, sel_scores, sel_idx, num = batched_nms(
         boxes,
@@ -145,3 +172,149 @@ def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
         return postprocess(locations, confidences, priors, cfg)
 
     return detect
+
+
+def make_detect_loop_fns(cfg: Config, priors, use_ema: bool = None):
+    """Jitted programs for :func:`run_detect_loop`, built once so repeated
+    invocations (periodic in-training eval) reuse the traced functions
+    instead of paying a fresh (remote) compile each time."""
+    from multibox_tpu.data.augment import preprocess_eval
+
+    body = make_detect_body(cfg, priors, use_ema=use_ema)
+    chunk = max(1, int(cfg.steps_per_host_transfer))
+
+    def one(variables, images):
+        return body(variables, preprocess_eval(images, cfg.input_size))
+
+    fns = {"body": body, "per_batch": jax.jit(one), "chunk": chunk}
+    if chunk > 1:
+        # K batches per device call: preprocess+detect scanned on device
+        # over the superbatch's leading axis — one dispatch, one transfer.
+        def chunked(variables, superimages):  # [K, B, S, S, 3] uint8
+            def step(_, images):
+                return None, one(variables, images)
+
+            _, dets = jax.lax.scan(step, None, superimages)
+            return dets  # each leaf [K, B, ...]
+
+        fns["chunked"] = jax.jit(chunked)
+    return fns
+
+
+def run_detect_loop(
+    cfg: Config,
+    variables,
+    dataset,
+    priors,
+    score_threshold: float = None,
+    use_ema: bool = None,
+    fns=None,
+):
+    """Drive detection over a ``DetectionDataset``: the production host
+    loop shared by the detect / eval / visualize CLIs and in-training eval.
+
+    TPU-link discipline (the reference just looped ``sess.run``; SURVEY.md
+    §3.2): batches ship as uint8 (4× smaller than f32 — preprocessing runs
+    on device), ``cfg.steps_per_host_transfer=K`` groups K batches into ONE
+    chunked ≤32 MB transfer + ONE scanned device call (the same pattern
+    that bought the train loop 2.4× on this link), and the drain of group
+    N's outputs overlaps group N+1's device work (1-deep pipeline). On a
+    multi-device mesh the batch is sharded on the data axis instead.
+
+    Returns a list of per-image dicts {image_id, boxes, scores, classes}
+    with only valid, above-threshold slots (host numpy).
+    """
+    from multibox_tpu.data.pipeline import Prefetcher
+    from multibox_tpu.utils.transfer import fast_device_put
+
+    thr = cfg.detect_score_threshold if score_threshold is None else score_threshold
+    if fns is None:
+        fns = make_detect_loop_fns(cfg, priors, use_ema=use_ema)
+    chunk = fns["chunk"]
+    devices = jax.devices()
+    use_mesh = len(devices) > 1 and cfg.batch_size % len(devices) == 0
+
+    if use_mesh:
+        from multibox_tpu.parallel.mesh import (
+            make_mesh,
+            make_parallel_detect_fn,
+            replicated,
+            shard_batch,
+        )
+
+        from multibox_tpu.data.augment import preprocess_eval
+
+        mesh = make_mesh(devices, cfg.data_axis)
+        pdetect = make_parallel_detect_fn(fns["body"], mesh, cfg.data_axis)
+        variables = jax.device_put(variables, replicated(mesh))
+        preprocess = jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size))
+
+        def dispatch(group):
+            return [
+                pdetect(
+                    variables,
+                    preprocess(
+                        shard_batch(
+                            jnp.asarray(b["images"]), mesh, cfg.data_axis
+                        )
+                    ),
+                )
+                for b in group
+            ]
+
+    else:
+
+        def dispatch(group):
+            if chunk > 1 and len(group) == chunk:
+                superimages = np.stack([b["images"] for b in group])
+                dets = fns["chunked"](
+                    variables, fast_device_put(superimages, devices[0])
+                )
+                return [
+                    jax.tree.map(lambda x, i=i: x[i], dets)
+                    for i in range(len(group))
+                ]
+            return [
+                fns["per_batch"](variables, jnp.asarray(b["images"]))
+                for b in group
+            ]
+
+    results = []
+
+    def drain(group, dets):
+        for batch, det in zip(group, dets):
+            boxes = np.asarray(det["boxes"])
+            scores = np.asarray(det["scores"])
+            classes = np.asarray(det["classes"])
+            nums = np.asarray(det["num"])
+            for i in range(int(batch["batch_valid"])):
+                n = int(nums[i])
+                keep = scores[i, :n] >= thr
+                results.append(
+                    {
+                        "image_id": batch["image_ids"][i],
+                        "boxes": boxes[i, :n][keep],
+                        "scores": scores[i, :n][keep],
+                        "classes": classes[i, :n][keep],
+                    }
+                )
+
+    inflight = None
+    group = []
+    for batch in Prefetcher(iter(dataset), depth=chunk + 1):
+        group.append(batch)
+        if len(group) < chunk:
+            continue
+        dets = dispatch(group)  # async — device works while we drain
+        if inflight is not None:
+            drain(*inflight)
+        inflight = (group, dets)
+        group = []
+    if group:  # final partial group (per-batch path)
+        dets = dispatch(group)
+        if inflight is not None:
+            drain(*inflight)
+        inflight = (group, dets)
+    if inflight is not None:
+        drain(*inflight)
+    return results

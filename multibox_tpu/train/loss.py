@@ -44,6 +44,9 @@ def multibox_loss(
     encode: str = "multibox",
     gt_labels: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
+    conf_loss: str = "bce",
+    focal_gamma: float = 2.0,
+    focal_alpha: float = 0.25,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Batched MultiBox loss.
 
@@ -60,7 +63,13 @@ def multibox_loss(
       hard_negative_ratio: negatives kept per positive (0 → keep all).
       encode: target encoding ("multibox" residual | "ssd").
       gt_labels: ``[B, G]`` int class ids in ``[0, C)`` — required when
-        ``conf_logits`` is multi-class.
+        ``conf_logits`` is multi-class. Out-of-range ids are counted in
+        the ``num_bad_labels`` metric (the host pipeline should already
+        have rejected them — see ``cfg.label_offset``).
+      conf_loss: "bce" (reference) | "focal" — RetinaNet focal sigmoid CE
+        (arXiv:1708.02002): α_t·(1−p_t)^γ·BCE. Down-weights easy
+        negatives so rare-class confidence keeps a gradient; pair with
+        ``hard_negative_ratio=0`` (mining is redundant under focal).
       use_pallas: ``True`` routes greedy IoU matching to the batched
         Pallas kernel. Only applies to pure-IoU greedy matching
         (``matching="greedy"``, ``hybrid_conf_weight=0``); other
@@ -131,6 +140,15 @@ def multibox_loss(
     sq = jnp.sum((loc_preds - loc_t) ** 2, axis=-1)  # [B, P]
     loc_loss = 0.5 * jnp.sum(sq * conf_t) / total_pos
 
+    if conf_loss == "focal":
+        def conf_ce(logits, labels):
+            return focal_sigmoid_bce(logits, labels, focal_gamma, focal_alpha)
+    elif conf_loss == "bce":
+        conf_ce = optax_sigmoid_bce
+    else:
+        raise ValueError(f"unknown conf_loss: {conf_loss!r}")
+
+    num_bad_labels = jnp.float32(0.0)
     if multiclass:
         if gt_labels is None:
             raise ValueError("gt_labels required for multi-class conf_logits")
@@ -149,7 +167,18 @@ def multibox_loss(
             cls_t[..., None] == jnp.arange(C)[None, None, :],
             matched[..., None],
         ).astype(conf_logits.dtype)  # [B, P, C]
-        bce_full = optax_sigmoid_bce(conf_logits, onehot)  # [B, P, C]
+        # Out-of-range gt labels produce an all-zero onehot at a matched
+        # prior — the object would silently train as background. The host
+        # pipeline rejects them; this metric is the on-device tripwire.
+        G_lbl = gt_labels.shape[1]
+        active_lbl = jnp.arange(G_lbl)[None, :] < num_gt[:, None]
+        num_bad_labels = jnp.sum(
+            jnp.logical_and(
+                active_lbl,
+                jnp.logical_or(gt_labels < 0, gt_labels >= C),
+            ).astype(jnp.float32)
+        )
+        bce_full = conf_ce(conf_logits, onehot)  # [B, P, C]
         pos_loss = jnp.sum(bce_full * onehot) / total_pos
         # Per-prior negative score: all non-positive (prior, class) entries.
         bce = jnp.sum(bce_full * (1.0 - onehot), axis=-1)  # [B, P]
@@ -159,7 +188,7 @@ def multibox_loss(
         pos_loss = pos_loss + jnp.sum(bce * conf_t) / total_pos
     else:
         # Confidence BCE (numerically stable form).
-        bce = optax_sigmoid_bce(conf_logits, conf_t)  # [B, P]
+        bce = conf_ce(conf_logits, conf_t)  # [B, P]
         pos_loss = jnp.sum(bce * conf_t) / total_pos
 
     neg_mask = 1.0 - conf_t
@@ -180,8 +209,8 @@ def multibox_loss(
         keep = neg_mask
     neg_loss = jnp.sum(bce * keep) / total_pos
 
-    conf_loss = pos_loss + neg_loss
-    total = conf_loss + alpha * loc_loss
+    conf_loss_val = pos_loss + neg_loss
+    total = conf_loss_val + alpha * loc_loss
     # Active gt rows that received no prior: silent label loss (the
     # documented num_gt > P truncation, or an exhausted prior set).
     G = gt_boxes.shape[1]
@@ -191,11 +220,12 @@ def multibox_loss(
     )
     metrics = {
         "loss": total,
-        "loss_conf": conf_loss,
+        "loss_conf": conf_loss_val,
         "loss_loc": loc_loss,
         "num_pos": jnp.sum(num_pos),
         "num_neg_kept": jnp.sum(keep),
         "num_gt_dropped": num_gt_dropped,
+        "num_bad_labels": num_bad_labels,
     }
     return total, metrics
 
@@ -207,3 +237,19 @@ def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         - logits * labels
         + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
+
+
+def focal_sigmoid_bce(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    gamma: float = 2.0,
+    alpha: float = 0.25,
+) -> jnp.ndarray:
+    """Elementwise focal sigmoid CE (arXiv:1708.02002 eq.4–5):
+    α_t · (1 − p_t)^γ · BCE, with p_t = p for positives, 1−p otherwise.
+    Built on the stable BCE so large |logits| don't overflow."""
+    bce = optax_sigmoid_bce(logits, labels)
+    p = jax.nn.sigmoid(logits)
+    p_t = labels * p + (1.0 - labels) * (1.0 - p)
+    alpha_t = labels * alpha + (1.0 - labels) * (1.0 - alpha)
+    return alpha_t * jnp.power(jnp.maximum(1.0 - p_t, 1e-8), gamma) * bce

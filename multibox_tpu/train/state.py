@@ -45,16 +45,43 @@ class TrainState:
 
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
-    """Staircase exponential decay, slim-style."""
-    decay_steps = max(
-        int(cfg.num_epochs_per_decay * cfg.num_train_examples / cfg.batch_size), 1
-    )
-    return optax.exponential_decay(
-        init_value=cfg.initial_learning_rate,
-        transition_steps=decay_steps,
-        decay_rate=cfg.learning_rate_decay_factor,
-        staircase=True,
-    )
+    """LR schedule: slim-style staircase exponential decay (reference
+    parity) or cosine; optional floor + linear warmup (cfg.lr_schedule,
+    cfg.min_learning_rate, cfg.warmup_steps — the staircase otherwise
+    decays to useless magnitudes on long runs, the measured cause of the
+    round-2 multi-class conf plateau)."""
+    if cfg.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(
+            init_value=cfg.initial_learning_rate,
+            decay_steps=max(cfg.max_number_of_steps - cfg.warmup_steps, 1),
+            alpha=(
+                cfg.min_learning_rate / cfg.initial_learning_rate
+                if cfg.initial_learning_rate
+                else 0.0
+            ),
+        )
+    elif cfg.lr_schedule == "exponential":
+        decay_steps = max(
+            int(cfg.num_epochs_per_decay * cfg.num_train_examples / cfg.batch_size),
+            1,
+        )
+        sched = optax.exponential_decay(
+            init_value=cfg.initial_learning_rate,
+            transition_steps=decay_steps,
+            decay_rate=cfg.learning_rate_decay_factor,
+            staircase=True,
+            end_value=cfg.min_learning_rate or None,
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r}")
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(
+            init_value=0.0,
+            end_value=cfg.initial_learning_rate,
+            transition_steps=cfg.warmup_steps,
+        )
+        sched = optax.join_schedules([warmup, sched], [cfg.warmup_steps])
+    return sched
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -140,6 +167,9 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
             encode=cfg.box_encoding,
             gt_labels=batch.get("labels"),
             use_pallas=cfg.use_pallas,
+            conf_loss=cfg.conf_loss,
+            focal_gamma=cfg.focal_gamma,
+            focal_alpha=cfg.focal_alpha,
         )
         return total, (updates["batch_stats"], metrics)
 

@@ -124,6 +124,172 @@ def test_multiclass_train_step(rng):
     assert float(m["loss"]) < float(m0["loss"])
 
 
+def test_postprocess_per_class_sweep_emits_multiple_classes():
+    """One prior scoring high on TWO classes: the per-class sweep (default)
+    must emit both as separate detections; the argmax approximation
+    (per_class_detect=False) can only emit the winner — the measured AP
+    depressor this sweep removes (VERDICT round-2 item #2)."""
+    from dataclasses import replace
+
+    from multibox_tpu.inference import postprocess
+
+    cfg = Config(num_priors=2, num_classes=3, max_detections=8,
+                 detect_score_threshold=0.05, use_pallas=False)
+    priors = jnp.array([[0.1, 0.1, 0.4, 0.4], [0.6, 0.6, 0.9, 0.9]])
+    loc = jnp.zeros((1, 2, 4))
+    conf = jnp.array([[[3.0, 2.5, -5.0], [-5.0, -5.0, -5.0]]])
+
+    det = postprocess(loc, conf, priors, cfg)  # default = per-class sweep
+    n = int(det["num"][0])
+    classes = set(np.asarray(det["classes"][0, :n]).tolist())
+    assert {0, 1} <= classes, classes
+    # both candidates decode to the same prior box
+    for i in range(n):
+        np.testing.assert_allclose(
+            np.asarray(det["boxes"][0, i]), np.asarray(priors[0]), atol=1e-6
+        )
+
+    det2 = postprocess(loc, conf, priors, replace(cfg, per_class_detect=False))
+    n2 = int(det2["num"][0])
+    classes2 = set(np.asarray(det2["classes"][0, :n2]).tolist())
+    assert classes2 == {0}, classes2
+
+
+def test_postprocess_per_class_candidate_budget(rng):
+    """detect_candidates < P·C: top-k pruning keeps the highest scores and
+    output shapes stay static."""
+    from multibox_tpu.inference import postprocess
+
+    B, P, C = 2, 16, 4
+    cfg = Config(num_priors=P, num_classes=C, max_detections=6,
+                 detect_candidates=10, detect_score_threshold=0.0,
+                 use_pallas=False)
+    priors = jnp.asarray(random_boxes(rng, P))
+    loc = jnp.zeros((B, P, 4))
+    conf = jnp.asarray(rng.normal(0, 2, (B, P, C)).astype(np.float32))
+    det = jax.jit(lambda l, c: postprocess(l, c, priors, cfg))(loc, conf)
+    assert det["boxes"].shape == (B, 6, 4)
+    assert det["classes"].shape == (B, 6)
+    # top detection = global max over the [P, C] score grid
+    probs = 1 / (1 + np.exp(-np.asarray(conf)))
+    for b in range(B):
+        p_best, c_best = np.unravel_index(np.argmax(probs[b]), (P, C))
+        assert int(det["classes"][b, 0]) == c_best
+        np.testing.assert_allclose(
+            np.asarray(det["boxes"][b, 0]), np.asarray(priors[p_best]),
+            atol=1e-6,
+        )
+
+
+def test_pipeline_label_offset_and_validation(tmp_path, rng):
+    """1-based labels (VOC/COCO convention) must fail loudly without
+    label_offset and come out 0-based with it (VERDICT round-2 item #5)."""
+    from multibox_tpu.data.example_proto import build_detection_example
+    from multibox_tpu.data.pipeline import DetectionDataset
+    from multibox_tpu.data.tfrecord import TFRecordWriter
+
+    path = str(tmp_path / "t.tfrecord")
+    canvas = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    with TFRecordWriter(path) as w:
+        for i, labels in enumerate([[1, 3], [2]]):
+            boxes = random_boxes(rng, len(labels))
+            w.write(build_detection_example(
+                b"", f"img{i}", boxes, labels=labels, raw_canvas=canvas,
+            ))
+
+    bad = DetectionDataset([path], batch_size=2, canvas_size=32,
+                           max_num_bboxes=4, num_classes=3)
+    with pytest.raises(ValueError, match="label_offset"):
+        list(bad)
+
+    good = DetectionDataset([path], batch_size=2, canvas_size=32,
+                            max_num_bboxes=4, num_classes=3, label_offset=1)
+    batch = next(iter(good))
+    assert batch["labels"][0, :2].tolist() == [0, 2]
+    assert batch["labels"][1, :1].tolist() == [1]
+
+
+def test_loss_num_bad_labels_metric(rng):
+    """Out-of-range labels at ACTIVE gt rows are counted; padded rows are
+    not (defense-in-depth tripwire behind the host pipeline check)."""
+    P, C = 10, 3
+    priors = jnp.asarray(random_boxes(rng, P))
+    gt = jnp.asarray(np.stack([random_boxes(rng, 4)]))
+    labels = jnp.array([[0, 5, 1, 7]], jnp.int32)  # idx1 bad-active, idx3 padded
+    conf = jnp.zeros((1, P, C))
+    loc = jnp.zeros((1, P, 4))
+    _, m = multibox_loss(
+        loc, conf, gt, jnp.array([3], jnp.int32), priors, gt_labels=labels,
+    )
+    assert float(m["num_bad_labels"]) == 1.0
+
+
+def test_focal_loss_formula(rng):
+    from multibox_tpu.train.loss import focal_sigmoid_bce, optax_sigmoid_bce
+
+    logits = jnp.asarray(rng.normal(0, 3, (50,)).astype(np.float32))
+    labels = jnp.asarray((rng.uniform(size=50) > 0.5).astype(np.float32))
+    got = np.asarray(focal_sigmoid_bce(logits, labels, 2.0, 0.25))
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    z = np.asarray(labels)
+    bce = -(z * np.log(p) + (1 - z) * np.log(1 - p))
+    p_t = z * p + (1 - z) * (1 - p)
+    a_t = z * 0.25 + (1 - z) * 0.75
+    want = a_t * (1 - p_t) ** 2 * bce
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    # γ=0, α=0.5 → exactly half the plain BCE
+    got0 = np.asarray(focal_sigmoid_bce(logits, labels, 0.0, 0.5))
+    np.testing.assert_allclose(
+        got0, 0.5 * np.asarray(optax_sigmoid_bce(logits, labels)), rtol=1e-5
+    )
+
+
+def test_multibox_loss_focal_descends(rng):
+    """Focal conf loss: finite grads, and a step of gradient descent on the
+    logits reduces the loss (sanity that the option is trainable)."""
+    B, P, G, C = 2, 16, 3, 4
+    priors = jnp.asarray(random_boxes(rng, P))
+    gt = jnp.asarray(np.stack([random_boxes(rng, G) for _ in range(B)]))
+    labels = jnp.asarray(rng.integers(0, C, (B, G)).astype(np.int32))
+    num_gt = jnp.array([3, 2], jnp.int32)
+    conf = jnp.asarray(rng.normal(0, 1, (B, P, C)).astype(np.float32))
+    loc = jnp.asarray(rng.normal(0, 0.05, (B, P, 4)).astype(np.float32))
+
+    def f(conf):
+        total, _ = multibox_loss(
+            loc, conf, gt, num_gt, priors, hard_negative_ratio=0.0,
+            gt_labels=labels, conf_loss="focal",
+        )
+        return total
+
+    l0 = float(f(conf))
+    g = jax.grad(f)(conf)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(f(conf - 0.5 * g)) < l0
+
+
+def test_lr_schedule_floor_and_cosine():
+    from multibox_tpu.train.state import make_lr_schedule
+
+    cfg = Config(initial_learning_rate=0.01, learning_rate_decay_factor=0.5,
+                 num_epochs_per_decay=1.0, num_train_examples=32,
+                 batch_size=32, min_learning_rate=0.004)
+    s = make_lr_schedule(cfg)  # staircase decays every step here
+    assert float(s(0)) == pytest.approx(0.01)
+    assert float(s(1)) == pytest.approx(0.005)
+    assert float(s(2)) == pytest.approx(0.004)  # floored
+    assert float(s(50)) == pytest.approx(0.004)
+
+    cfg = Config(lr_schedule="cosine", initial_learning_rate=0.01,
+                 warmup_steps=10, max_number_of_steps=110,
+                 min_learning_rate=0.001)
+    s = make_lr_schedule(cfg)
+    assert float(s(0)) == pytest.approx(0.0)
+    assert float(s(10)) == pytest.approx(0.01)
+    assert float(s(60)) < 0.01
+    assert float(s(110)) == pytest.approx(0.001, rel=1e-3)
+
+
 def test_per_class_eval():
     from multibox_tpu.evaluate import evaluate_detections_per_class
 
