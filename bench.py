@@ -126,6 +126,92 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
     return ips, p50, tflops, mfu
 
 
+def bench_tpu_train(batch=32, iters=10, priors_count=256, canvas=343):
+    """Full production train step (on-device aug + fwd + match + loss + bwd
+    + opt + EMA) — chained: N steps in one device call with the state
+    threaded through, so each step's forward depends on the previous
+    step's parameter update (the data dependency ALSO defeats XLA
+    dead-code-eliminating the backward pass — see CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multibox_tpu.config import Config
+    from multibox_tpu.inference import build_model
+    from multibox_tpu.train.loop import make_augmented_train_step
+    from multibox_tpu.train.state import create_train_state
+
+    cfg = Config(num_priors=priors_count, batch_size=batch)
+    rng = np.random.default_rng(0)
+    priors = jnp.asarray(
+        np.sort(
+            rng.uniform(0, 1, (priors_count, 2, 2)).astype(np.float32), axis=1
+        ).reshape(priors_count, 4)
+    )
+    model = build_model(cfg, priors_count)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), priors_count)
+    step = make_augmented_train_step(cfg, model, priors)
+
+    G = cfg.max_num_bboxes
+    batch_np = {
+        "images": rng.integers(0, 255, (batch, canvas, canvas, 3)).astype(
+            np.uint8
+        ),
+        "boxes": np.sort(
+            rng.uniform(0.1, 0.9, (batch, G, 2, 2)).astype(np.float32), axis=2
+        ).reshape(batch, G, 4),
+        "num_boxes": np.full((batch,), 4, np.int32),
+    }
+
+    def chained(state, b, n):
+        def body(i, carry):
+            state, _ = carry
+            state, metrics = step(state, b)
+            return state, metrics["loss"]
+
+        state, loss = jax.lax.fori_loop(
+            0, n, body, (state, jnp.float32(0))
+        )
+        # depend on the final updated params so no step is dead code
+        leaf = jax.tree.leaves(state.params)[0]
+        return loss + jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+
+    from multibox_tpu.utils.transfer import fast_device_put
+
+    dev_batch = fast_device_put(batch_np, jax.devices()[0])
+    f = jax.jit(chained, static_argnums=2)
+    float(f(state, dev_batch, iters))  # compile + warm
+    batch2 = dict(batch_np)
+    batch2["images"] = batch_np["images"] ^ 1  # distinct: no memoization
+    dev_batch2 = fast_device_put(batch2, jax.devices()[0])
+    t0 = time.perf_counter()
+    float(f(state, dev_batch2, iters))
+    per = (time.perf_counter() - t0) / iters
+    ips = batch / per
+
+    flops = None
+    try:
+        one = jax.jit(step, donate_argnums=())
+        comp = one.lower(state, dev_batch).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        log("train cost_analysis unavailable:", e)
+    if flops is None:
+        # fwd+bwd ≈ 3× fwd FLOPs; Inception-v3 fwd ≈ 11.4 GFLOP/img.
+        flops = 3 * 11.4e9 * batch
+        log("using analytic train-FLOPs fallback")
+    tflops = flops / per / 1e12
+    mfu = tflops / PEAK_TFLOPS
+    log(
+        f"TPU train step b{batch} (chained x{iters}): {per * 1e3:.2f}ms "
+        f"-> {ips:.1f} img/s, {tflops:.1f} TFLOP/s = {100 * mfu:.1f}% MFU"
+    )
+    return ips, per * 1e3, tflops, mfu
+
+
 def bench_tf_cpu(batch=32, iters=3):
     """TF-CPU Inception-v3 forward — the reference's compute substrate."""
     try:
@@ -153,6 +239,25 @@ def bench_tf_cpu(batch=32, iters=3):
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     tpu_ips, p50, tflops, mfu = bench_tpu_detect(batch=batch)
+    extras = {}
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        try:
+            t_ips, t_ms, t_tf, t_mfu = bench_tpu_train(batch=batch)
+            extras.update(
+                train_img_per_sec=round(t_ips, 1),
+                train_step_ms=round(t_ms, 2),
+                train_tflops=round(t_tf, 2),
+                train_mfu=round(t_mfu, 4),
+            )
+            t_ips128, t_ms128, t_tf128, t_mfu128 = bench_tpu_train(batch=128)
+            extras.update(
+                train_b128_img_per_sec=round(t_ips128, 1),
+                train_b128_step_ms=round(t_ms128, 2),
+                train_b128_tflops=round(t_tf128, 2),
+                train_b128_mfu=round(t_mfu128, 4),
+            )
+        except Exception as e:  # train bench must never sink the headline
+            log("train bench failed:", e)
     tf_ips = bench_tf_cpu(batch=batch)
     vs = (tpu_ips / tf_ips) if tf_ips else None
     log(f"p50_latency_ms={p50}")
@@ -166,6 +271,7 @@ def main():
                 "tflops": round(tflops, 2),
                 "mfu": round(mfu, 4),
                 "p50_latency_ms": round(p50, 2),
+                **extras,
                 "baseline_note": (
                     "TF-CPU baseline is backbone fwd only; rebuild number "
                     "includes full detect pipeline (bias favors baseline)"

@@ -95,7 +95,7 @@ def main(argv=None) -> int:
         if priors is not None:
             from multibox_tpu.ops import matching as matching_ops
 
-            assignment, _, _, _ = jax.vmap(
+            assignment, _, _, _, _ = jax.vmap(
                 lambda g, n: matching_ops.match_priors(g, n, priors)
             )(jnp.asarray(boxes), jnp.asarray(num_boxes))
             matched = np.asarray(assignment)

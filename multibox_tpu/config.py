@@ -46,6 +46,12 @@ class Config:
     matching: str = "greedy"  # "greedy" | "hungarian"
     hybrid_conf_weight: float = 0.0  # >0 → loss-aware (hybrid) matching
     hard_negative_ratio: float = 3.0  # negatives per positive; 0 → all
+    # >0 → SSD dense matching (arXiv:1512.02325 §2.2): on top of the
+    # bipartite best matches, every prior with best-gt IoU ≥ this trains
+    # as a positive. Under 1-to-1 matching + crop augmentation a prior is
+    # positive only ~25% of steps and its confidence equilibrates there
+    # (measured, BASELINE.md round-3); 0 keeps pure reference behavior.
+    multi_match_iou: float = 0.0
     # Confidence loss: "bce" (reference) | "focal" (RetinaNet-style
     # focal sigmoid CE — useful when conf training plateaus under extreme
     # class imbalance; pair with hard_negative_ratio: 0).

@@ -297,6 +297,75 @@ def matching_targets(
     return conf_targets, loc_targets, matched, cls_targets
 
 
+def dense_prior_assignment(
+    assignment: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    num_gt: jnp.ndarray,
+    priors: jnp.ndarray,
+    multi_match_iou: float = 0.0,
+) -> jnp.ndarray:
+    """Per-PRIOR gt index ``[P]`` (−1 = unmatched) from a per-gt bipartite
+    assignment, optionally densified SSD-style.
+
+    With ``multi_match_iou > 0`` this is the SSD matching strategy
+    (arXiv:1512.02325 §2.2): after the bipartite best matches, EVERY prior
+    whose best-gt IoU exceeds the threshold also becomes a positive for
+    that gt. Measured motivation (BASELINE.md round-3 "multi-class quality
+    loop"): under 1-to-1 matching with crop augmentation each object's
+    best prior churns between grid neighbors, so any single prior is
+    positive only ~25% of steps and BCE equilibrates its confidence at
+    ~0.25 — dense matching makes every well-overlapping prior positive
+    every step, letting confidences saturate.
+    """
+    G = gt_boxes.shape[0]
+    P = priors.shape[0]
+    valid = assignment >= 0
+    prior_gt = (
+        jnp.full((P,), -1, jnp.int32)
+        .at[jnp.where(valid, assignment, P)]
+        .set(jnp.arange(G, dtype=jnp.int32), mode="drop")
+    )
+    if multi_match_iou and multi_match_iou > 0:
+        iou = box_ops.iou_matrix(gt_boxes, priors)  # [G, P]
+        active = jnp.arange(G) < num_gt
+        iou = jnp.where(active[:, None], iou, -1.0)
+        best_gt = jnp.argmax(iou, axis=0).astype(jnp.int32)  # [P]
+        best_iou = jnp.max(iou, axis=0)
+        extra = jnp.logical_and(best_iou >= multi_match_iou, prior_gt < 0)
+        prior_gt = jnp.where(extra, best_gt, prior_gt)
+    return prior_gt
+
+
+def dense_targets(
+    prior_gt: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    priors: jnp.ndarray,
+    encode: str = "multibox",
+    gt_labels: Optional[jnp.ndarray] = None,
+):
+    """Per-prior training targets from a per-PRIOR gt index ``[P]``.
+
+    The dense counterpart of :func:`matching_targets` (which consumes the
+    per-GT form); gathers instead of scatters, so several priors may share
+    one gt (SSD multi-matching).
+    """
+    matched = prior_gt >= 0
+    safe = jnp.maximum(prior_gt, 0)
+    conf_targets = matched.astype(jnp.float32)
+    gt_for_prior = gt_boxes[safe]
+    if encode == "multibox":
+        offsets = box_ops.encode_boxes(gt_for_prior, priors)
+    elif encode == "ssd":
+        offsets = box_ops.encode_boxes_ssd(gt_for_prior, priors)
+    else:
+        raise ValueError(f"unknown encoding: {encode}")
+    loc_targets = jnp.where(matched[:, None], offsets, 0.0)
+    if gt_labels is None:
+        return conf_targets, loc_targets, matched
+    cls_targets = jnp.where(matched, gt_labels[safe].astype(jnp.int32), -1)
+    return conf_targets, loc_targets, matched, cls_targets
+
+
 def match_priors(
     gt_boxes: jnp.ndarray,
     num_gt: jnp.ndarray,
@@ -307,12 +376,19 @@ def match_priors(
     conf_weight: float = 0.0,
     alpha: float = 1.0,
     encode: str = "multibox",
+    multi_match_iou: float = 0.0,
 ):
     """Full per-image matching: benefit → assignment → per-prior targets.
 
     This is the single-image op; batch it with ``jax.vmap`` (see
     ``multibox_tpu.train.loss``). Replaces the reference's per-step
     ``tf.py_func`` → scipy Hungarian host escape (SURVEY.md §2 C6).
+
+    ``multi_match_iou > 0`` adds SSD-style dense matching on top of the
+    bipartite assignment (see :func:`dense_prior_assignment`).
+
+    Returns ``(assignment [G], prior_gt [P], conf_t [P], loc_t [P, 4],
+    matched [P])``.
     """
     benefit = compute_benefit(
         gt_boxes, priors, conf_logits, loc_preds, alpha=alpha, conf_weight=conf_weight
@@ -323,5 +399,8 @@ def match_priors(
         assignment = hungarian_match(benefit, num_gt)
     else:
         raise ValueError(f"unknown matching method: {method}")
-    conf_t, loc_t, matched = matching_targets(assignment, gt_boxes, priors, encode)
-    return assignment, conf_t, loc_t, matched
+    prior_gt = dense_prior_assignment(
+        assignment, gt_boxes, num_gt, priors, multi_match_iou
+    )
+    conf_t, loc_t, matched = dense_targets(prior_gt, gt_boxes, priors, encode)
+    return assignment, prior_gt, conf_t, loc_t, matched

@@ -13,6 +13,7 @@ The TPU-native equivalent of ref:train.py's Supervisor loop (SURVEY.md §3.1):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional, Sequence
 
@@ -356,10 +357,28 @@ def train(
     return state
 
 
+_BACKBONE_SCOPES = ("InceptionV3", "MobileNetV2")
+
+
 def _restore_pretrained(state: TrainState, path: str) -> TrainState:
-    """Restore an ImageNet backbone: either a tf-slim checkpoint (name
-    mapping via models.tf_import) or a keras .h5/.keras file."""
+    """Restore a pretrained backbone (reference behavior: restore with the
+    head scopes EXCLUDED — SURVEY.md §3.1). Three source formats:
+
+    - a tf-slim checkpoint (name mapping via models.tf_import)
+    - a keras ``.h5``/``.keras`` file
+    - an orbax logdir from a previous ``multibox-train`` run — the
+    warm-start path: the source's EMA shadows (the slim convention for
+    published weights) replace this state's backbone subtree; the head and
+    optimizer stay freshly initialized.
+    """
     from multibox_tpu.models import tf_import
+
+    if os.path.isdir(path):
+        probe = CheckpointManager(path)
+        has_orbax = probe.latest_step() is not None
+        probe.close()
+        if has_orbax:
+            return _warm_start_from_logdir(state, path)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if path.endswith((".h5", ".keras")):
@@ -374,4 +393,58 @@ def _restore_pretrained(state: TrainState, path: str) -> TrainState:
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         ema_params=jax.tree.map(jnp.copy, variables["params"]),
+    )
+
+
+def _warm_start_from_logdir(state: TrainState, path: str) -> TrainState:
+    """Copy the backbone subtree (params + batch_stats, EMA-preferred) out
+    of another run's latest checkpoint into a fresh state."""
+    ckpt = CheckpointManager(path)
+    raw = ckpt.restore_raw()
+    ckpt.close()
+    src_params = raw.get("ema_params") or raw["params"]
+    src_stats = raw.get("batch_stats") or {}
+
+    scopes = [
+        s for s in _BACKBONE_SCOPES if s in src_params and s in state.params
+    ]
+    if not scopes:
+        raise ValueError(
+            f"no common backbone scope between {path} "
+            f"({sorted(src_params)}) and this model ({sorted(state.params)})"
+        )
+
+    def graft(dst, src, what):
+        mismatch = []
+
+        def check(p, a, b):
+            if tuple(a.shape) != tuple(np.shape(b)):
+                mismatch.append((p, tuple(a.shape), tuple(np.shape(b))))
+            return jnp.asarray(b, a.dtype)
+
+        out = jax.tree_util.tree_map_with_path(
+            lambda p, a, b: check(p, a, b), dst, src
+        )
+        if mismatch:
+            raise ValueError(
+                f"warm-start {what} shape mismatch (differing backbone "
+                f"config?): {mismatch[:5]}"
+            )
+        return out
+
+    new_params = dict(state.params)
+    new_stats = dict(state.batch_stats)
+    for s in scopes:
+        new_params[s] = graft(state.params[s], src_params[s], f"params/{s}")
+        if s in src_stats and s in new_stats:
+            new_stats[s] = graft(
+                state.batch_stats[s], src_stats[s], f"batch_stats/{s}"
+            )
+    log.info(
+        "warm-started backbone scope(s) %s from %s (EMA weights)", scopes, path
+    )
+    return state.replace(
+        params=new_params,
+        batch_stats=new_stats,
+        ema_params=jax.tree.map(jnp.copy, new_params),
     )

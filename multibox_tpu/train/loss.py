@@ -41,6 +41,7 @@ def multibox_loss(
     matching: str = "greedy",
     hybrid_conf_weight: float = 0.0,
     hard_negative_ratio: float = 3.0,
+    multi_match_iou: float = 0.0,
     encode: str = "multibox",
     gt_labels: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
@@ -61,6 +62,11 @@ def multibox_loss(
       matching: "greedy" | "hungarian".
       hybrid_conf_weight: >0 → loss-aware matching (1412.1441 §2.1).
       hard_negative_ratio: negatives kept per positive (0 → keep all).
+      multi_match_iou: >0 → SSD dense matching (arXiv:1512.02325 §2.2) on
+        top of the bipartite assignment: every prior with best-gt IoU ≥
+        this also becomes a positive. Fixes the 1-to-1 confidence
+        equilibrium under augmentation (see ops.matching
+        ``dense_prior_assignment``).
       encode: target encoding ("multibox" residual | "ssd").
       gt_labels: ``[B, G]`` int class ids in ``[0, C)`` — required when
         ``conf_logits`` is multi-class. Out-of-range ids are counted in
@@ -108,9 +114,14 @@ def multibox_loss(
         )
 
         assignment = greedy_match_pallas_batched(gt_boxes, num_gt, priors)
+        prior_gt = jax.vmap(
+            lambda a, g, n: matching_ops.dense_prior_assignment(
+                a, g, n, priors, multi_match_iou
+            )
+        )(assignment, gt_boxes, num_gt)
         conf_t, loc_t, matched = jax.vmap(
-            lambda a, g: matching_ops.matching_targets(a, g, priors, encode)
-        )(assignment, gt_boxes)
+            lambda pg, g: matching_ops.dense_targets(pg, g, priors, encode)
+        )(prior_gt, gt_boxes)
     else:
 
         def match_one(gt, n, conf, loc):
@@ -124,9 +135,10 @@ def multibox_loss(
                 conf_weight=hybrid_conf_weight,
                 alpha=alpha,
                 encode=encode,
+                multi_match_iou=multi_match_iou,
             )
 
-        assignment, conf_t, loc_t, matched = jax.vmap(match_one)(
+        assignment, prior_gt, conf_t, loc_t, matched = jax.vmap(match_one)(
             gt_boxes, num_gt, conf_agn, loc_preds
         )
     # conf_t/loc_t are targets — constants w.r.t. the params.
@@ -153,16 +165,18 @@ def multibox_loss(
         if gt_labels is None:
             raise ValueError("gt_labels required for multi-class conf_logits")
         C = conf_logits.shape[-1]
-        # Per-prior class targets via the assignment scatter.
-        def cls_one(assign, labels):
-            valid = assign >= 0
-            return (
-                jnp.full((P,), -1, jnp.int32)
-                .at[jnp.where(valid, assign, P)]
-                .set(labels.astype(jnp.int32), mode="drop")
+        # Per-prior class targets: gather each prior's gt label (dense —
+        # several priors may share one gt under multi_match_iou).
+        safe_pg = jnp.maximum(prior_gt, 0)
+        cls_t = jax.lax.stop_gradient(
+            jnp.where(
+                prior_gt >= 0,
+                jnp.take_along_axis(
+                    gt_labels.astype(jnp.int32), safe_pg, axis=1
+                ),
+                -1,
             )
-
-        cls_t = jax.lax.stop_gradient(jax.vmap(cls_one)(assignment, gt_labels))
+        )
         onehot = jnp.logical_and(
             cls_t[..., None] == jnp.arange(C)[None, None, :],
             matched[..., None],

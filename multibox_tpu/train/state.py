@@ -164,6 +164,7 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
             matching=cfg.matching,
             hybrid_conf_weight=cfg.hybrid_conf_weight,
             hard_negative_ratio=cfg.hard_negative_ratio,
+            multi_match_iou=cfg.multi_match_iou,
             encode=cfg.box_encoding,
             gt_labels=batch.get("labels"),
             use_pallas=cfg.use_pallas,

@@ -43,6 +43,16 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore as plain nested dicts/arrays WITHOUT a structure
+        template — for cross-run warm-starts where the source TrainState's
+        structure (optimizer, head shapes) differs from the target's."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        return self._mgr.restore(step)
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

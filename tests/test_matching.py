@@ -132,8 +132,9 @@ def test_match_priors_end_to_end_jits(rng):
     fn = jax.jit(
         lambda g, n, p: matching.match_priors(g, n, p, method="greedy")
     )
-    assignment, conf_t, loc_t, matched = fn(gt, jnp.int32(2), priors)
+    assignment, prior_gt, conf_t, loc_t, matched = fn(gt, jnp.int32(2), priors)
     assert assignment.shape == (4,)
+    assert prior_gt.shape == (32,)
     assert np.asarray(assignment)[2:].tolist() == [-1, -1]
     assert np.asarray(conf_t).sum() == 2.0
 
@@ -146,8 +147,9 @@ def test_match_priors_batched_vmap(rng):
     fn = jax.vmap(
         lambda g, n: matching.match_priors(g, n, priors, method="greedy")
     )
-    assignment, conf_t, loc_t, matched = fn(gt, num_gt)
+    assignment, prior_gt, conf_t, loc_t, matched = fn(gt, num_gt)
     assert assignment.shape == (B, G)
+    assert prior_gt.shape == (B, P)
     counts = np.asarray(conf_t).sum(axis=1)
     np.testing.assert_allclose(counts, [5, 3, 0, 1])
 

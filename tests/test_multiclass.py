@@ -124,6 +124,52 @@ def test_multiclass_train_step(rng):
     assert float(m["loss"]) < float(m0["loss"])
 
 
+def test_ssd_dense_matching():
+    """multi_match_iou (SSD §2.2): every prior with best-gt IoU ≥ thr joins
+    the bipartite winner as a positive, with correct loc/cls targets."""
+    gt = jnp.array([[0.2, 0.2, 0.6, 0.6]])
+    priors = jnp.array([
+        [0.2, 0.2, 0.6, 0.6],    # exact → bipartite winner
+        [0.22, 0.22, 0.62, 0.62],  # IoU ≈ 0.82 → dense extra
+        [0.4, 0.4, 0.8, 0.8],    # IoU ≈ 0.14 → stays negative
+        [0.8, 0.8, 0.9, 0.9],    # no overlap
+    ])
+    num_gt = jnp.int32(1)
+
+    a, pg, conf_t, loc_t, matched = matching.match_priors(
+        gt, num_gt, priors, multi_match_iou=0.5
+    )
+    assert np.asarray(pg).tolist() == [0, 0, -1, -1]
+    assert np.asarray(conf_t).tolist() == [1.0, 1.0, 0.0, 0.0]
+    np.testing.assert_allclose(
+        np.asarray(loc_t[1]), np.asarray(gt[0] - priors[1]), atol=1e-6
+    )
+    # without multi-match: 1-to-1 only
+    a0, pg0, conf_t0, _, _ = matching.match_priors(gt, num_gt, priors)
+    assert np.asarray(pg0).tolist() == [0, -1, -1, -1]
+
+    # multi-class loss: num_pos counts dense positives, cls target gathers
+    conf = jnp.zeros((1, 4, 3))
+    loc = jnp.zeros((1, 4, 4))
+    _, m = multibox_loss(
+        loc, conf, gt[None], jnp.array([1], jnp.int32), priors,
+        gt_labels=jnp.array([[2]], jnp.int32), multi_match_iou=0.5,
+    )
+    assert float(m["num_pos"]) == 2.0
+
+
+def test_dense_matching_respects_padding(rng):
+    """Padded gt rows must never create dense positives."""
+    gt = jnp.array([[0.2, 0.2, 0.6, 0.6], [0.2, 0.2, 0.6, 0.6]])
+    priors = jnp.array([[0.2, 0.2, 0.6, 0.6], [0.21, 0.21, 0.61, 0.61]])
+    # second gt row is PADDING (identical box, but num_gt=1)
+    _, pg, conf_t, _, _ = matching.match_priors(
+        gt, jnp.int32(1), priors, multi_match_iou=0.5
+    )
+    assert np.asarray(pg).tolist() == [0, 0]
+    assert np.asarray(conf_t).sum() == 2.0
+
+
 def test_postprocess_per_class_sweep_emits_multiple_classes():
     """One prior scoring high on TWO classes: the per-class sweep (default)
     must emit both as separate detections; the argmax approximation
