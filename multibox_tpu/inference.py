@@ -174,28 +174,59 @@ def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
     return detect
 
 
+def _pack_dets(det):
+    """Pack ``{boxes, scores, classes, num}`` into ONE ``[B, K, 7]`` f32
+    array (4 box coords | score | class id | num-valid broadcast).
+
+    The relay device link charges a flat ~0.4 s per transfer EVENT
+    regardless of size, so draining four output leaves per batch dominated
+    the detect loop (measured round 3: the loop ran at ~50 img/s while the
+    device sustains ~4,000). One packed array = one D2H per device call.
+    Class ids and counts are exact in f32 (< 2**24)."""
+    b = det["boxes"].astype(jnp.float32)
+    B, K = b.shape[0], b.shape[1]
+    s = det["scores"].astype(jnp.float32)[..., None]
+    c = det["classes"].astype(jnp.float32)[..., None]
+    n = jnp.broadcast_to(
+        det["num"].astype(jnp.float32)[:, None, None], (B, K, 1)
+    )
+    return jnp.concatenate([b, s, c, n], axis=-1)
+
+
+def _unpack_dets(arr):
+    """Host-side inverse of :func:`_pack_dets` on a numpy ``[B, K, 7]``."""
+    boxes = arr[..., :4]
+    scores = arr[..., 4]
+    classes = arr[..., 5].astype(np.int32)
+    nums = arr[:, 0, 6].astype(np.int32)
+    return boxes, scores, classes, nums
+
+
 def make_detect_loop_fns(cfg: Config, priors, use_ema: bool = None):
     """Jitted programs for :func:`run_detect_loop`, built once so repeated
     invocations (periodic in-training eval) reuse the traced functions
-    instead of paying a fresh (remote) compile each time."""
+    instead of paying a fresh (remote) compile each time. All programs
+    return PACKED detections (:func:`_pack_dets`) so the host drain costs
+    one transfer per device call."""
     from multibox_tpu.data.augment import preprocess_eval
 
     body = make_detect_body(cfg, priors, use_ema=use_ema)
     chunk = max(1, int(cfg.steps_per_host_transfer))
 
     def one(variables, images):
-        return body(variables, preprocess_eval(images, cfg.input_size))
+        return _pack_dets(body(variables, preprocess_eval(images, cfg.input_size)))
 
     fns = {"body": body, "per_batch": jax.jit(one), "chunk": chunk}
     if chunk > 1:
         # K batches per device call: preprocess+detect scanned on device
-        # over the superbatch's leading axis — one dispatch, one transfer.
+        # over the superbatch's leading axis — one dispatch, one transfer
+        # in, one packed [K, B, D, 7] transfer out.
         def chunked(variables, superimages):  # [K, B, S, S, 3] uint8
             def step(_, images):
                 return None, one(variables, images)
 
             _, dets = jax.lax.scan(step, None, superimages)
-            return dets  # each leaf [K, B, ...]
+            return dets  # [K, B, max_detections, 7]
 
         fns["chunked"] = jax.jit(chunked)
     return fns
@@ -245,7 +276,9 @@ def run_detect_loop(
         from multibox_tpu.data.augment import preprocess_eval
 
         mesh = make_mesh(devices, cfg.data_axis)
-        pdetect = make_parallel_detect_fn(fns["body"], mesh, cfg.data_axis)
+        pdetect = make_parallel_detect_fn(
+            lambda v, im: _pack_dets(fns["body"](v, im)), mesh, cfg.data_axis
+        )
         variables = jax.device_put(variables, replicated(mesh))
         preprocess = jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size))
 
@@ -267,13 +300,12 @@ def run_detect_loop(
         def dispatch(group):
             if chunk > 1 and len(group) == chunk:
                 superimages = np.stack([b["images"] for b in group])
-                dets = fns["chunked"](
+                # The whole [K, B, D, 7] result drains in ONE transfer —
+                # never slice per group-item on device (each slice is an
+                # extra relay dispatch + fetch; measured round 3).
+                return fns["chunked"](
                     variables, fast_device_put(superimages, devices[0])
                 )
-                return [
-                    jax.tree.map(lambda x, i=i: x[i], dets)
-                    for i in range(len(group))
-                ]
             return [
                 fns["per_batch"](variables, jnp.asarray(b["images"]))
                 for b in group
@@ -282,11 +314,13 @@ def run_detect_loop(
     results = []
 
     def drain(group, dets):
-        for batch, det in zip(group, dets):
-            boxes = np.asarray(det["boxes"])
-            scores = np.asarray(det["scores"])
-            classes = np.asarray(det["classes"])
-            nums = np.asarray(det["num"])
+        if isinstance(dets, list):  # per-batch path: one [B, D, 7] each
+            arrs = [np.asarray(d) for d in dets]
+        else:  # chunked path: one [K, B, D, 7] fetch for the whole group
+            whole = np.asarray(dets)
+            arrs = [whole[i] for i in range(len(group))]
+        for batch, arr in zip(group, arrs):
+            boxes, scores, classes, nums = _unpack_dets(arr)
             for i in range(int(batch["batch_valid"])):
                 n = int(nums[i])
                 keep = scores[i, :n] >= thr
