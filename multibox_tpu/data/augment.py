@@ -64,38 +64,31 @@ def crop_and_resize(
     ys = axis_coords(ymin, ymax, H, out_size)  # [B, S]
     xs = axis_coords(xmin, xmax, W, out_size)  # [B, S]
 
-    def sample_axis(coords, size):
+    def interp_matrix(coords, size):
+        # [B, S, size] row-interpolation matrix with two nonzeros per row:
+        # (1−w) at floor(c) and w at floor(c)+1. Expressing the bilinear
+        # gather as a MATMUL puts resampling on the MXU — on TPU the
+        # six-gather formulation (take_along_axis per corner) lowers to
+        # scalar-loop gathers and cost ~8.5 ms/step at batch-32 canvas-343,
+        # vs ~matmul-free for two einsums (measured round 3, BASELINE.md).
         c = jnp.clip(coords, 0.0, size - 1.0)
-        lo = jnp.floor(c).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, size - 1)
-        w = c - lo.astype(jnp.float32)
-        return lo, hi, w
+        lo = jnp.floor(c)
+        w = c - lo
+        idx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+        lo = lo[..., None]  # [B, S, 1]
+        w = w[..., None]
+        return (idx == lo) * (1 - w) + (idx == jnp.minimum(lo + 1, size - 1)) * w
 
-    y0, y1, wy = sample_axis(ys, H)
-    x0, x1, wx = sample_axis(xs, W)
-
-    def gather_rows(imgs, rows):
-        # imgs [B, H, W, C], rows [B, S] → [B, S, W, C]
-        return jnp.take_along_axis(imgs, rows[:, :, None, None], axis=1)
-
-    def gather_cols(imgs, cols):
-        # imgs [B, S, W, C], cols [B, S] → [B, S, S, C]
-        return jnp.take_along_axis(imgs, cols[:, None, :, None], axis=2)
-
-    top = gather_rows(images, y0)
-    bot = gather_rows(images, y1)
-    tl = gather_cols(top, x0)
-    tr = gather_cols(top, x1)
-    bl = gather_cols(bot, x0)
-    br = gather_cols(bot, x1)
-
-    wy = wy[:, :, None, None]
-    wx = wx[:, None, :, None]
-    return (
-        tl * (1 - wy) * (1 - wx)
-        + tr * (1 - wy) * wx
-        + bl * wy * (1 - wx)
-        + br * wy * wx
+    my = interp_matrix(ys, H)  # [B, S, H]
+    mx = interp_matrix(xs, W)  # [B, S, W]
+    # rows: [B,S,H] × [B,H,W,C] → [B,S,W,C]; cols: [B,S,W] × … → [B,S,S,C].
+    # HIGHEST precision keeps f32 pixel math (default MXU bf16 passes lose
+    # ~1/255 on 8-bit sources and break TF-parity tolerances).
+    rows = jnp.einsum(
+        "bsh,bhwc->bswc", my, images, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "bxw,bswc->bsxc", mx, rows, precision=jax.lax.Precision.HIGHEST
     )
 
 
