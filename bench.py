@@ -38,6 +38,28 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def _marginal_step_time(run, n, samples=3):
+    """Per-step time as the SLOPE between chains of n and 3n steps.
+
+    The relay charges a large FIXED cost per execution (measured round 3:
+    0.8–1.5 s regardless of chain length, drifting with tunnel load), so
+    total/n overstates the device step badly at small n. The n→3n slope
+    cancels the fixed cost. Estimator: interleave ``samples`` runs of each
+    length (so drift hits both), take min PER LENGTH (the least-congested
+    sample of each), then slope of the mins — min-of-pairwise-slopes is
+    optimistically biased under overhead noise (it once read a b32 train
+    step at 10 ms / 54 % MFU, above the forward pass's own efficiency).
+    ``run(k, n)`` must execute an n-step chain on rep-distinct input k."""
+    t1s, t3s = [], []
+    for r in range(samples):
+        t1s.append(_timed(lambda: run(2 * r, n)))
+        t3s.append(_timed(lambda: run(2 * r + 1, 3 * n)))
+    slope = (min(t3s) - min(t1s)) / (2 * n)
+    if slope <= 0:  # pathological drift: fall back to the long chain
+        slope = min(t3s) / (3 * n)
+    return slope
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -83,13 +105,15 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
         return acc
 
     f = jax.jit(chained, static_argnums=2)
-    float(f(variables, images, iters))  # compile + warm (same static n!)
-    # Best of 3 distinct-input reps: single samples through the relay can
-    # read 2× slow under tunnel congestion (measured round 3).
-    per = min(
-        _timed(lambda x=images + np.float32(k) * 1e-6: float(f(variables, x, iters)))
-        for k in (1, 2, 3)
-    ) / iters
+    # compile + warm both chain lengths (distinct static n = distinct exe)
+    float(f(variables, images, iters))
+    float(f(variables, images, 3 * iters))
+
+    def run(k, n):
+        # distinct input per call: no relay call-memoization
+        float(f(variables, images + np.float32(k + 1) * 1e-6, n))
+
+    per = _marginal_step_time(run, iters)
     ips = batch / per
     log(f"TPU detect (chained x{iters}): {per * 1e3:.2f}ms/batch -> {ips:.1f} img/s")
 
@@ -133,7 +157,7 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
     return ips, p50, tflops, mfu
 
 
-def bench_tpu_train(batch=32, iters=10, priors_count=256, canvas=343):
+def bench_tpu_train(batch=32, iters=20, priors_count=256, canvas=343):
     """Full production train step (on-device aug + fwd + match + loss + bwd
     + opt + EMA) — chained: N steps in one device call with the state
     threaded through, so each step's forward depends on the previous
@@ -187,16 +211,17 @@ def bench_tpu_train(batch=32, iters=10, priors_count=256, canvas=343):
 
     dev_batch = fast_device_put(batch_np, jax.devices()[0])
     f = jax.jit(chained, static_argnums=2)
-    float(f(state, dev_batch, iters))  # compile + warm
-    # Best of 3 distinct-input reps (relay congestion can double a single
-    # sample — round 3 measured 63.6 vs 35.1 ms for the identical program).
-    reps = []
-    for k in (1, 2, 3):
+    # compile + warm both chain lengths
+    float(f(state, dev_batch, iters))
+    float(f(state, dev_batch, 3 * iters))
+
+    def run(k, n):
         batch2 = dict(batch_np)
-        batch2["images"] = batch_np["images"] ^ k  # distinct: no memoization
+        batch2["images"] = batch_np["images"] ^ (k + 1)  # distinct bytes
         dev_batch2 = fast_device_put(batch2, jax.devices()[0])
-        reps.append(_timed(lambda: float(f(state, dev_batch2, iters))))
-    per = min(reps) / iters
+        float(f(state, dev_batch2, n))
+
+    per = _marginal_step_time(run, iters)
     ips = batch / per
 
     flops = None
