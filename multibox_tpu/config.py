@@ -46,6 +46,10 @@ class Config:
     matching: str = "greedy"  # "greedy" | "hungarian"
     hybrid_conf_weight: float = 0.0  # >0 → loss-aware (hybrid) matching
     hard_negative_ratio: float = 3.0  # negatives per positive; 0 → all
+    # >0 → log N input canvases (gt boxes burned in) to TensorBoard every
+    # this many steps — the reference's input-image summaries (SURVEY.md
+    # §5.5). 0 = off (image summaries cost host work + event-file bytes).
+    image_summary_steps: int = 0
     # >0 → SSD dense matching (arXiv:1512.02325 §2.2): on top of the
     # bipartite best matches, every prior with best-gt IoU ≥ this trains
     # as a positive. Under 1-to-1 matching + crop augmentation a prior is

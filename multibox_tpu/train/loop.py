@@ -318,6 +318,17 @@ def train(
                     metrics["loss_loc"], ips,
                 )
             if (
+                cfg.image_summary_steps
+                and step_idx // cfg.image_summary_steps
+                > prev_step // cfg.image_summary_steps
+            ):
+                # `batch` is the most recent HOST input canvas (pre-aug;
+                # see utils.metrics.MetricsWriter.write_images docstring).
+                writer.write_images(
+                    step_idx, batch["images"], batch["boxes"],
+                    batch["num_boxes"],
+                )
+            if (
                 eval_tfrecords
                 and eval_every_steps
                 and step_idx // eval_every_steps > prev_step // eval_every_steps
