@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 import glob
 import logging
+import os
 from typing import List
 
 from multibox_tpu.config import Config, parse_config_file
@@ -15,7 +16,28 @@ def setup_logging(verbose: bool = True) -> None:
         level=logging.INFO if verbose else logging.WARNING,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    apply_platform_override()
     setup_jax_cache()
+
+
+def apply_platform_override() -> None:
+    """Honor ``MULTIBOX_JAX_PLATFORM`` (e.g. ``cpu``) in every CLI process.
+
+    The ``JAX_PLATFORMS`` env var alone is NOT reliable here: this
+    container's sitecustomize registers the axon TPU plugin at interpreter
+    startup and programmatically sets ``jax_platforms=axon,cpu``, which
+    overrides the env var — a fresh subprocess then initializes the axon
+    backend (and hangs if the relay is unreachable) even with
+    ``JAX_PLATFORMS=cpu`` exported. A late ``jax.config.update`` is the
+    only override that sticks, so CLI entry points apply one before any
+    backend is touched. Needed by anything that spawns CLI subprocesses
+    off-TPU (tests, the ``--restart_every_steps`` supervisor's children
+    under test)."""
+    plat = os.environ.get("MULTIBOX_JAX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def setup_jax_cache() -> None:

@@ -59,6 +59,10 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint_path", required=True,
                         help="logdir with orbax checkpoints")
     parser.add_argument("--output", required=True, help=".pkl or .json output")
+    parser.add_argument("--coco_json", default=None,
+                        help="also write a COCO results-format JSON "
+                             "(pixel [x,y,w,h]; needs image/height+width "
+                             "features in the tfrecords)")
     parser.add_argument("--score_threshold", type=float, default=None)
     add_config_arg(parser)
     args = parser.parse_args(argv)
@@ -89,6 +93,18 @@ def main(argv=None) -> int:
         with open(args.output, "wb") as f:
             pickle.dump(results, f)
     print(f"wrote {len(results)} image results to {args.output}")
+
+    if args.coco_json:
+        from multibox_tpu.cli.evaluate import load_groundtruth
+        from multibox_tpu.evaluate import to_coco_results
+
+        _, sizes = load_groundtruth(
+            expand_tfrecords(args.tfrecords), with_sizes=True
+        )
+        coco = to_coco_results(results, sizes, label_offset=cfg.label_offset)
+        with open(args.coco_json, "w") as f:
+            json.dump(coco, f)
+        print(f"wrote {len(coco)} COCO-format detections to {args.coco_json}")
     return 0
 
 

@@ -26,17 +26,28 @@ from multibox_tpu.evaluate import evaluate_detections
 
 
 def load_groundtruth(tfrecords, with_labels: bool = False,
-                     label_offset: int = 0):
-    """image_id → gt boxes (and labels). ``label_offset`` is subtracted
-    from raw labels so they align with model class ids (cfg.label_offset —
-    1-based datasets must be shifted the same way here as in training)."""
+                     label_offset: int = 0, with_sizes: bool = False):
+    """image_id → gt boxes (and labels / pixel sizes). ``label_offset`` is
+    subtracted from raw labels so they align with model class ids
+    (cfg.label_offset — 1-based datasets must be shifted the same way here
+    as in training). ``with_sizes`` also returns image_id → (height,
+    width) from the image/height+width features (for size-stratified
+    eval); images without those features are omitted from the size map."""
     gt = {}
     labels = {}
+    sizes = {}
     for rec in read_records(tfrecords):
         ex = parse_detection_example(rec)
         gt[ex["image_id"]] = np.asarray(ex["boxes"], np.float64)
         labels[ex["image_id"]] = np.asarray(ex["labels"], np.int64) - label_offset
-    return (gt, labels) if with_labels else gt
+        if "height" in ex:
+            sizes[ex["image_id"]] = (ex["height"], ex["width"])
+    out = [gt]
+    if with_labels:
+        out.append(labels)
+    if with_sizes:
+        out.append(sizes)
+    return tuple(out) if len(out) > 1 else gt
 
 
 def main(argv=None) -> int:
@@ -50,6 +61,10 @@ def main(argv=None) -> int:
     parser.add_argument("--priors", default=None)
     parser.add_argument("--per_class", action="store_true",
                         help="multi-class protocol: AP per class, averaged")
+    parser.add_argument("--by_size", action="store_true",
+                        help="COCO size-stratified AP (small/medium/large "
+                             "bands in source pixels; needs image/height + "
+                             "image/width features)")
     add_config_arg(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -72,17 +87,28 @@ def main(argv=None) -> int:
         cfg.num_priors = priors.shape[0]
         results = run_detection(cfg, tfrecords, priors, args.checkpoint_path)
 
+    # One pass over the tfrecords serves every protocol (the host is
+    # 1-core and the records carry full JPEG payloads — re-reading per
+    # protocol would multiply eval IO).
+    gt, gt_labels, sizes = load_groundtruth(
+        tfrecords, with_labels=True, with_sizes=True,
+        label_offset=load_config(args).label_offset,
+    )
     if args.per_class:
         from multibox_tpu.evaluate import evaluate_detections_per_class
 
-        gt, gt_labels = load_groundtruth(
-            tfrecords, with_labels=True,
-            label_offset=load_config(args).label_offset,
-        )
         metrics = evaluate_detections_per_class(results, gt, gt_labels)
     else:
-        gt = load_groundtruth(tfrecords)
         metrics = evaluate_detections(results, gt)
+    if args.by_size:
+        from multibox_tpu.evaluate import evaluate_detections_by_size
+
+        metrics.update(
+            evaluate_detections_by_size(
+                results, gt, sizes,
+                groundtruth_labels=gt_labels if args.per_class else None,
+            )
+        )
     for k, v in metrics.items():
         print(f"{k}: {v:.4f}")
     return 0

@@ -79,15 +79,31 @@ class Config:
     min_learning_rate: float = 0.0
     warmup_steps: int = 0
     num_train_examples: int = 5000
+    # Optimizer family (slim train_image_classifier surface): rmsprop is
+    # the reference default; momentum/sgd/adam are the other slim-era
+    # choices. "momentum" reuses rmsprop_momentum as its coefficient.
+    optimizer: str = "rmsprop"
     rmsprop_decay: float = 0.9
     rmsprop_epsilon: float = 1.0
     rmsprop_momentum: float = 0.9
+    adam_epsilon: float = 1e-8
+    # >0 → clip gradients to this global norm before the optimizer update
+    # (slim's clip_gradient_norm flag). 0 = off.
+    clip_gradient_norm: float = 0.0
     moving_average_decay: float = 0.9999
     max_number_of_steps: int = 100000
     save_every_steps: int = 1000
     log_every_steps: int = 100
     keep_checkpoints: int = 3
     seed: int = 0
+    # >0 → the train CLI supervises bounded-lifetime child processes of
+    # this many steps each, resuming from the logdir between them
+    # (tf.train.Supervisor lineage: a crashed worker is restarted from the
+    # last checkpoint instead of killing the run). Also the mitigation for
+    # host-side RAM growth in long runs on leaky device-client stacks —
+    # this container's relay client leaks ~10-45 MB per chunked execution
+    # (CLAUDE.md), so multi-thousand-step runs here should set this.
+    restart_every_steps: int = 0
 
     # --- host input pipeline (decode-bound-host knobs; see data/pipeline) ---
     decode_draft: bool = False  # libjpeg DCT-scaled decode for train inputs
@@ -159,6 +175,9 @@ _KEY_ALIASES = {
     "LEARNING_RATE_DECAY_FACTOR": "learning_rate_decay_factor",
     "NUM_EPOCHS_PER_DECAY": "num_epochs_per_decay",
     "NUM_TRAIN_EXAMPLES": "num_train_examples",
+    "OPTIMIZER": "optimizer",
+    "CLIP_GRADIENT_NORM": "clip_gradient_norm",
+    "MOMENTUM": "rmsprop_momentum",
     "RMSPROP_DECAY": "rmsprop_decay",
     "RMSPROP_EPSILON": "rmsprop_epsilon",
     "RMSPROP_MOMENTUM": "rmsprop_momentum",

@@ -263,6 +263,12 @@ def parse_detection_example(serialized: bytes) -> Dict:
         "boxes": boxes,
         "labels": labels,
     }
+    # Source pixel dimensions (standard image/height + image/width int64
+    # features) — needed by size-stratified COCO eval, where area bands
+    # are defined in source-image pixels, not normalized units.
+    if f.get("image/height") and f.get("image/width"):
+        out["height"] = int(f["image/height"][0])
+        out["width"] = int(f["image/width"][0])
     # Pre-decoded canvas shards (rebuild extension for decode-bound hosts):
     # raw uint8 RGB at a fixed square canvas, written by
     # `multibox-dataset --store_raw_canvas`.

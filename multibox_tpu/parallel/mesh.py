@@ -38,10 +38,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_host_local(x, sharding: NamedSharding, batch_dim: int = 0):
+    """Device-put one host array under ``sharding``, treating it as this
+    PROCESS'S slice of the batch axis on multi-host meshes.
+
+    Single process: a plain ``device_put`` (the array IS the global
+    batch). Multi-host: each process holds ``global/process_count`` rows
+    (the input pipeline shards records per process and sizes its local
+    batch accordingly — ``train.loop``), and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    sharded array without any cross-host transfer of the data itself.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    gshape = list(x.shape)
+    gshape[batch_dim] *= jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(x), tuple(gshape)
+    )
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a host batch with its leading axis sharded over the mesh."""
+    """Device-put a host batch with its leading axis sharded over the mesh
+    (process-local slice on multi-host meshes — see put_host_local)."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: put_host_local(x, sharding), batch)
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:

@@ -185,8 +185,12 @@ def train(
             )
 
             def put_super(sb):
+                from multibox_tpu.parallel.mesh import put_host_local
+
+                # Batch axis is dim 1 of the [K, B, ...] superbatch.
                 return jax.tree.map(
-                    lambda x: jax.device_put(x, super_sharding), sb
+                    lambda x: put_host_local(x, super_sharding, batch_dim=1),
+                    sb,
                 )
 
     else:
@@ -209,9 +213,18 @@ def train(
                 return fast_device_put(sb, devices[0])
 
     canvas = canvas_size or max(int(cfg.input_size * 1.15), cfg.input_size)
+    # cfg.batch_size is the GLOBAL batch. On a multi-host mesh each
+    # process decodes only its slice; put_host_local assembles the global
+    # sharded array from the per-process slices.
+    if cfg.batch_size % jax.process_count():
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by "
+            f"process_count {jax.process_count()}"
+        )
+    local_batch = cfg.batch_size // jax.process_count()
     dataset = DetectionDataset(
         tfrecords,
-        batch_size=cfg.batch_size,
+        batch_size=local_batch,
         canvas_size=canvas,
         max_num_bboxes=cfg.max_num_bboxes,
         shuffle=True,
@@ -223,6 +236,11 @@ def train(
         # Multi-class: out-of-range labels must fail loudly at the host
         # (on-device they silently become background; VERDICT round-2 #5).
         num_classes=cfg.num_classes if cfg.num_classes > 1 else None,
+        # Multi-host DP: each process feeds a disjoint record shard (the
+        # mesh shards the global batch over all devices; every process
+        # supplies its local slice from its own records).
+        shard_index=jax.process_index(),
+        shard_count=jax.process_count(),
     )
     writer = MetricsWriter(logdir)
     total = max_steps if max_steps is not None else cfg.max_number_of_steps

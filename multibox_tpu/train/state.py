@@ -85,12 +85,31 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.rmsprop(
-        learning_rate=make_lr_schedule(cfg),
-        decay=cfg.rmsprop_decay,
-        eps=cfg.rmsprop_epsilon,
-        momentum=cfg.rmsprop_momentum,
-    )
+    """Optimizer per cfg.optimizer (slim train surface: rmsprop default,
+    momentum/sgd/adam alternatives) with optional global-norm gradient
+    clipping (slim's clip_gradient_norm) applied BEFORE the update."""
+    sched = make_lr_schedule(cfg)
+    name = cfg.optimizer.lower()
+    if name == "rmsprop":
+        tx = optax.rmsprop(
+            learning_rate=sched,
+            decay=cfg.rmsprop_decay,
+            eps=cfg.rmsprop_epsilon,
+            momentum=cfg.rmsprop_momentum,
+        )
+    elif name == "momentum":
+        tx = optax.sgd(learning_rate=sched, momentum=cfg.rmsprop_momentum)
+    elif name == "sgd":
+        tx = optax.sgd(learning_rate=sched)
+    elif name == "adam":
+        tx = optax.adam(learning_rate=sched, eps=cfg.adam_epsilon)
+    else:
+        raise ValueError(f"unknown optimizer: {cfg.optimizer!r}")
+    if cfg.clip_gradient_norm > 0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.clip_gradient_norm), tx
+        )
+    return tx
 
 
 def create_train_state(cfg: Config, model, rng: jax.Array, num_priors: int) -> TrainState:

@@ -422,3 +422,88 @@ def test_16_train_with_image_summaries(workdir, priors_file, tmp_path):
     # Two crossings (steps 2 and 4) x one image summary each: the event
     # file must carry real image payloads, far larger than scalars alone.
     assert sum(os.path.getsize(e) for e in events) > 10_000
+
+
+def test_17_train_supervised_restart_chain(workdir, priors_file, tmp_path):
+    """--restart_every_steps chains bounded-lifetime child PROCESSES, each
+    resuming from the logdir (Supervisor lineage, SURVEY.md §5.3; also the
+    documented host-RAM-leak mitigation for long relay runs). Run the
+    supervisor itself in a subprocess so the children inherit the CPU
+    platform (the in-process conftest override does not cross exec)."""
+    import subprocess
+    import sys
+
+    logdir = str(tmp_path / "suplogs")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # JAX_PLATFORMS alone does NOT survive this container's sitecustomize
+    # (it re-sets jax_platforms programmatically at interpreter startup);
+    # the CLI-level override is what actually keeps child processes off
+    # the TPU relay — see cli.common.apply_platform_override.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MULTIBOX_JAX_PLATFORM"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "multibox_tpu.cli.train",
+            "--tfrecords", workdir["tfrecord"],
+            "--priors", priors_file,
+            "--logdir", logdir, "--config", workdir["config"],
+            "--no_mesh", "--max_number_of_steps", "7",
+            "--restart_every_steps", "4",
+        ],
+        env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    # Two child generations (each a fresh interpreter paying jax startup —
+    # kept to two on purpose; the chaining/crash semantics are unit-tested
+    # in test_supervisor.py): boundaries at 4 and 7, each force-saving its
+    # final step; generation 2 resumed from generation 1's checkpoint.
+    for step in (4, 7):
+        assert os.path.isdir(os.path.join(logdir, str(step))), step
+    assert proc.stderr.count("resuming from checkpoint") >= 1
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    assert max(l["step"] for l in lines) == 7
+    assert all(np.isfinite(l["loss"]) for l in lines)
+
+
+def test_18_eval_cli_by_size(workdir, detections_file, capsys):
+    """--by_size adds COCO small/medium/large stratified rows (the fixture
+    images carry image/height+width = 80x80, so nothing is skipped)."""
+    from multibox_tpu.cli.evaluate import main
+
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--detections", detections_file,
+        "--by_size",
+    ]) == 0
+    out = capsys.readouterr().out
+    for band in ("small", "medium", "large"):
+        assert f"AP@0.5/{band}:" in out
+    assert "num_images_skipped: 0.0000" in out
+    # The fixture's objects are 0.2-0.4 of an 80px image -> 16-32 px sides
+    # -> 256-1024 px^2, inside the COCO small band (< 32^2).
+    assert "num_gt/small: " in out and "num_gt/small: 0.0000" not in out
+
+
+def test_19_detect_cli_coco_json(workdir, priors_file, trained_logdir, tmp_path):
+    """--coco_json writes pycocotools-loadable results (pixel xywh)."""
+    from multibox_tpu.cli.detect import main
+
+    out = str(tmp_path / "d.pkl")
+    coco = str(tmp_path / "coco.json")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", priors_file,
+        "--checkpoint_path", trained_logdir,
+        "--output", out, "--coco_json", coco,
+        "--config", workdir["config"],
+    ]) == 0
+    rows = json.load(open(coco))
+    assert rows, "fixture detections expected"
+    for r in rows[:5]:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        x, y, w, h = r["bbox"]
+        # pixel coords of the 80x80 fixture images; w/h may be 0 for
+        # degenerate boxes from this barely-trained fixture model
+        assert 0 <= x <= 80 and 0 <= y <= 80 and 0 <= w <= 80 and 0 <= h <= 80

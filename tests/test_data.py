@@ -309,16 +309,19 @@ def test_dataset_batches(tmp_path, rng):
 
 
 def test_dataset_repeat_and_shuffle(tmp_path, rng):
+    # shuffle_buffer sized to the dataset: with the default 512-record
+    # reservoir a 6-image dataset mixes so deeply that full coverage in a
+    # small window is a seed lottery, which is not the property to pin.
     path = make_fixture(tmp_path, rng, n=6)
     ds = DetectionDataset(
         [path], batch_size=4, canvas_size=32, max_num_bboxes=5,
-        shuffle=True, repeat=True, seed=1,
+        shuffle=True, repeat=True, seed=1, shuffle_buffer=6,
     )
     it = iter(ds)
     seen = []
-    for _ in range(4):  # 16 images = 2.7 epochs
+    for _ in range(6):  # 24 images = 4 epochs
         seen += next(it)["image_ids"]
-    assert len(seen) == 16
+    assert len(seen) == 24
     assert set(seen) == {f"img-{i}" for i in range(6)}
 
 
@@ -479,3 +482,64 @@ def test_shuffle_buffer_persists_across_epochs(tmp_path):
     counts = Counter(window)
     assert max(counts.values()) >= 2  # some record already repeated
     assert set(first_16) == {f"rec-{i}".encode() for i in range(8)}
+
+
+def test_dataset_sharding_partitions_records(tmp_path, rng):
+    """Multi-host DP input sharding: shards are disjoint, balanced, and
+    their union is the full dataset (record-level round-robin)."""
+    path = make_fixture(tmp_path, rng, n=10, name="shard.tfrecord")
+
+    def ids(shard_index, shard_count, **kw):
+        ds = DetectionDataset(
+            [path], batch_size=2, canvas_size=32, max_num_bboxes=5,
+            shard_index=shard_index, shard_count=shard_count, **kw,
+        )
+        out = []
+        it = iter(ds)
+        for b in it:
+            out += b["image_ids"][: b.get("batch_valid", len(b["image_ids"]))]
+        return out
+
+    s0, s1 = ids(0, 2), ids(1, 2)
+    assert len(s0) == len(s1) == 5
+    assert not set(s0) & set(s1)
+    assert set(s0) | set(s1) == {f"img-{i}" for i in range(10)}
+
+    with pytest.raises(ValueError):
+        DetectionDataset([path], batch_size=2, shard_index=2, shard_count=2)
+
+
+def test_dataset_sharding_disjoint_under_shuffled_multifile(tmp_path, rng):
+    """Sharded hosts must see IDENTICAL shuffled path orders (dedicated
+    path rng), so a one-epoch shuffled multi-file run splits the dataset
+    exactly: disjoint halves whose union is every record once."""
+    paths = []
+    for fi in range(3):
+        p = str(tmp_path / f"uniq{fi}.tfrecord")
+        with TFRecordWriter(p) as w:
+            for i in range(4):
+                img = synth_image(rng, 40, 40)
+                w.write(
+                    build_detection_example(
+                        encode_jpeg(img), f"f{fi}-r{i}",
+                        random_boxes(rng, 1), labels=[1],
+                        height=40, width=40,
+                    )
+                )
+        paths.append(p)
+
+    def one_epoch(shard_index):
+        ds = DetectionDataset(
+            paths, batch_size=2, canvas_size=32, max_num_bboxes=5,
+            shuffle=True, repeat=False, seed=7, shuffle_buffer=4,
+            shard_index=shard_index, shard_count=2,
+        )
+        out = []
+        for b in ds:
+            out += b["image_ids"][: b.get("batch_valid", 2)]
+        return out
+
+    a, b = one_epoch(0), one_epoch(1)
+    assert len(a) == len(b) == 6
+    assert not set(a) & set(b)
+    assert set(a) | set(b) == {f"f{f}-r{r}" for f in range(3) for r in range(4)}

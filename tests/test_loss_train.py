@@ -366,3 +366,42 @@ def test_chunked_step_matches_sequential(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
         )
+
+
+# ---- optimizer family + gradient clipping (slim train surface) ----
+
+def test_make_optimizer_families_step():
+    """Every cfg.optimizer choice produces a usable optax transform."""
+    from multibox_tpu.train.state import make_optimizer
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.full((4,), 0.5, jnp.float32)}
+    for name in ("rmsprop", "momentum", "sgd", "adam"):
+        cfg = Config(optimizer=name, initial_learning_rate=0.1)
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        new = jax.tree.map(lambda p, u: p + u, params, updates)
+        assert np.all(np.isfinite(new["w"]))
+        assert not np.allclose(new["w"], params["w"])  # it moved
+    with pytest.raises(ValueError):
+        make_optimizer(Config(optimizer="adagrad"))
+
+
+def test_clip_gradient_norm_bounds_update():
+    """With sgd the update is exactly -lr * clipped_grad, so the update
+    norm must be lr * min(grad_norm, clip)."""
+    from multibox_tpu.train.state import make_optimizer
+
+    lr = 0.5
+    params = {"w": jnp.zeros((3,), jnp.float32)}
+    grads = {"w": jnp.asarray([30.0, 40.0, 0.0], jnp.float32)}  # norm 50
+    for clip, expected in ((2.0, lr * 2.0), (0.0, lr * 50.0)):
+        cfg = Config(
+            optimizer="sgd", initial_learning_rate=lr,
+            clip_gradient_norm=clip, warmup_steps=0,
+        )
+        tx = make_optimizer(cfg)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        norm = float(jnp.linalg.norm(updates["w"]))
+        assert norm == pytest.approx(expected, rel=1e-5), (clip, norm)
