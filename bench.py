@@ -271,8 +271,51 @@ def bench_tf_cpu(batch=32, iters=3):
     return ips
 
 
+def _probe_device(timeout_s: float):
+    """Fail fast (with a diagnosable JSON line) if the device is
+    unreachable, instead of hanging the whole bench.
+
+    The axon relay has real outages (round 3 observed a multi-hour one);
+    ``jax.devices()`` then blocks indefinitely and cannot be interrupted
+    from this thread, so a watchdog thread prints the error line and
+    hard-exits. Armed only around this first trivial device op — later
+    cold compiles may legitimately take minutes and must not be killed."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "images_per_sec_per_chip_batch32_detect",
+                        "value": 0.0,
+                        "unit": "images/sec",
+                        "vs_baseline": None,
+                        "error": (
+                            f"device unreachable: first trivial device op "
+                            f"did not complete within {timeout_s:.0f}s "
+                            "(relay outage?)"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+    import jax.numpy as jnp
+
+    log("probing device:", jax.devices())
+    float(jnp.ones((8,)).sum())
+    done.set()
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
+    _probe_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
     tpu_ips, p50, tflops, mfu = bench_tpu_detect(batch=batch)
     extras = {}
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
