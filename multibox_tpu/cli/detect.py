@@ -23,11 +23,13 @@ from multibox_tpu.cli.common import (
 )
 
 
-def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None):
+def run_detection(cfg, tfrecords, priors, checkpoint_path,
+                  score_threshold=None, dataset=None):
     """Shared by detect / eval / visualize: returns a list of per-image
     detection dicts (only valid slots, host numpy). The host loop itself —
     chunked transfers, 1-deep pipeline, mesh sharding — lives in
-    ``inference.run_detect_loop``."""
+    ``inference.run_detect_loop``. ``dataset`` overrides the default
+    tfrecord dataset (the ``--images`` raw-file path)."""
     from multibox_tpu.data.pipeline import DetectionDataset
     from multibox_tpu.inference import build_model, run_detect_loop
     from multibox_tpu.train.state import create_train_state
@@ -38,12 +40,13 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
     ckpt = CheckpointManager(checkpoint_path)
     state = ckpt.restore(state)
 
-    dataset = DetectionDataset(
-        tfrecords,
-        batch_size=cfg.batch_size,
-        canvas_size=cfg.input_size,
-        max_num_bboxes=cfg.max_num_bboxes,
-    )
+    if dataset is None:
+        dataset = DetectionDataset(
+            tfrecords,
+            batch_size=cfg.batch_size,
+            canvas_size=cfg.input_size,
+            max_num_bboxes=cfg.max_num_bboxes,
+        )
     results = run_detect_loop(
         cfg, state.detect_variables(), dataset, priors,
         score_threshold=score_threshold,
@@ -54,7 +57,10 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path, score_threshold=None)
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--tfrecords", nargs="+", required=True)
+    parser.add_argument("--tfrecords", nargs="+", default=None)
+    parser.add_argument("--images", nargs="+", default=None,
+                        help="raw image files/globs (JPEG/PNG/...) instead "
+                             "of tfrecords")
     parser.add_argument("--priors", required=True)
     parser.add_argument("--checkpoint_path", required=True,
                         help="logdir with orbax checkpoints")
@@ -68,13 +74,31 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     setup_logging()
 
+    if bool(args.tfrecords) == bool(args.images):
+        raise SystemExit("need exactly one of --tfrecords / --images")
     cfg = load_config(args)
     priors = priors_mod.load_priors(args.priors)
     cfg.num_priors = priors.shape[0]
 
+    image_dataset = None
+    if args.images:
+        import glob as globmod
+
+        from multibox_tpu.data.pipeline import ImageFileDataset
+
+        paths = []
+        for p in args.images:
+            matched = sorted(globmod.glob(p))
+            paths.extend(matched if matched else [p])
+        image_dataset = ImageFileDataset(
+            paths, batch_size=cfg.batch_size, canvas_size=cfg.input_size
+        )
+
     results = run_detection(
-        cfg, expand_tfrecords(args.tfrecords), priors,
-        args.checkpoint_path, args.score_threshold,
+        cfg,
+        expand_tfrecords(args.tfrecords) if args.tfrecords else None,
+        priors, args.checkpoint_path, args.score_threshold,
+        dataset=image_dataset,
     )
 
     if args.output.endswith(".json"):
@@ -95,12 +119,16 @@ def main(argv=None) -> int:
     print(f"wrote {len(results)} image results to {args.output}")
 
     if args.coco_json:
-        from multibox_tpu.cli.evaluate import load_groundtruth
         from multibox_tpu.evaluate import to_coco_results
 
-        _, sizes = load_groundtruth(
-            expand_tfrecords(args.tfrecords), with_sizes=True
-        )
+        if image_dataset is not None:
+            sizes = image_dataset.sizes  # recorded during iteration
+        else:
+            from multibox_tpu.cli.evaluate import load_groundtruth
+
+            _, sizes = load_groundtruth(
+                expand_tfrecords(args.tfrecords), with_sizes=True
+            )
         coco = to_coco_results(results, sizes, label_offset=cfg.label_offset)
         with open(args.coco_json, "w") as f:
             json.dump(coco, f)

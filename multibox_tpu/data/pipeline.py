@@ -12,6 +12,7 @@ collapses into: N decode threads → bounded queue → training loop.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -255,6 +256,76 @@ class DetectionDataset:
             "boxes": boxes,
             "num_boxes": num_boxes,
             "labels": labels,
+            "image_ids": ids,
+            "batch_valid": np.int32(n),
+        }
+
+
+class ImageFileDataset:
+    """Batched detection input from raw image FILES (any PIL-decodable
+    format — JPEG, PNG, …) instead of tfrecords: the
+    ``multibox-detect --images`` path for users without a tfrecord
+    pipeline. Yields the batch-dict surface ``inference.run_detect_loop``
+    consumes (``images`` uint8 [B, canvas, canvas, 3], ``image_ids``,
+    ``batch_valid``), padding the final partial batch.
+
+    ``image_id`` is the file basename when unique across the input set,
+    else the full path. After iteration ``self.sizes`` maps image_id →
+    source (height, width) in pixels (COCO-format export needs them).
+    """
+
+    def __init__(self, paths: Sequence[str], batch_size: int,
+                 canvas_size: int):
+        self.paths = [str(p) for p in paths]
+        if not self.paths:
+            raise ValueError("no image files given")
+        names = [os.path.basename(p) for p in self.paths]
+        unique = len(set(names)) == len(names)
+        self._ids = {
+            p: (os.path.basename(p) if unique else p) for p in self.paths
+        }
+        self.batch_size = batch_size
+        self.canvas_size = canvas_size
+        self.sizes: Dict[str, tuple] = {}
+
+    def _decode(self, path: str) -> Dict:
+        import io
+
+        from PIL import Image
+
+        data = open(path, "rb").read()
+        with Image.open(io.BytesIO(data)) as im:
+            w, h = im.size  # lazy header read — no full decode
+        image_id = self._ids[path]
+        self.sizes[image_id] = (h, w)
+        return {
+            "image": jpeg_mod.decode_jpeg(data, canvas=self.canvas_size),
+            "image_id": image_id,
+        }
+
+    def __iter__(self):
+        buf = []
+        for path in self.paths:
+            buf.append(self._decode(path))
+            if len(buf) == self.batch_size:
+                yield self._collate(buf)
+                buf = []
+        if buf:
+            yield self._collate(buf)
+
+    def _collate(self, items) -> Dict:
+        n = len(items)
+        images = np.zeros(
+            (self.batch_size, self.canvas_size, self.canvas_size, 3),
+            np.uint8,
+        )
+        ids = []
+        for i, item in enumerate(items):
+            images[i] = item["image"]
+            ids.append(item["image_id"])
+        ids += [""] * (self.batch_size - n)
+        return {
+            "images": images,
             "image_ids": ids,
             "batch_valid": np.int32(n),
         }

@@ -507,3 +507,47 @@ def test_19_detect_cli_coco_json(workdir, priors_file, trained_logdir, tmp_path)
         # pixel coords of the 80x80 fixture images; w/h may be 0 for
         # degenerate boxes from this barely-trained fixture model
         assert 0 <= x <= 80 and 0 <= y <= 80 and 0 <= w <= 80 and 0 <= h <= 80
+
+
+def test_20_detect_cli_raw_images(workdir, priors_file, trained_logdir,
+                                  tmp_path):
+    """--images detects from raw JPEG/PNG files (no tfrecords) and
+    --coco_json sources pixel sizes from the decoded files."""
+    from PIL import Image
+
+    from multibox_tpu.cli.detect import main
+
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        img = np.full((64, 48, 3), 30, np.uint8)
+        img[10:40, 10:35] = [220, 180, 60]
+        fmt = "PNG" if i % 2 else "JPEG"
+        Image.fromarray(img).save(
+            str(img_dir / f"raw-{i}.{fmt.lower()}"), format=fmt
+        )
+
+    out = str(tmp_path / "d.pkl")
+    coco = str(tmp_path / "coco.json")
+    assert main([
+        "--images", str(img_dir / "*"),
+        "--priors", priors_file,
+        "--checkpoint_path", trained_logdir,
+        "--output", out, "--coco_json", coco,
+        "--config", workdir["config"],
+    ]) == 0
+    results = pickle.load(open(out, "rb"))
+    assert len(results) == 5
+    assert {r["image_id"] for r in results} == {
+        f"raw-{i}.{'png' if i % 2 else 'jpeg'}" for i in range(5)
+    }
+    rows = json.load(open(coco))
+    assert rows
+    # pixel coords of the 64x48 (h, w) sources
+    assert all(0 <= r["bbox"][0] <= 48 and 0 <= r["bbox"][1] <= 64
+               for r in rows)
+    # exactly one of --tfrecords / --images
+    with pytest.raises(SystemExit):
+        main(["--priors", priors_file, "--checkpoint_path", trained_logdir,
+              "--output", out])

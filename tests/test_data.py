@@ -543,3 +543,46 @@ def test_dataset_sharding_disjoint_under_shuffled_multifile(tmp_path, rng):
     assert len(a) == len(b) == 6
     assert not set(a) & set(b)
     assert set(a) | set(b) == {f"f{f}-r{r}" for f in range(3) for r in range(4)}
+
+
+def test_image_file_dataset(tmp_path, rng):
+    """Raw-file detection input (multibox-detect --images): batch shapes,
+    final-batch padding, source-size recording, PNG + JPEG decode, and
+    basename-vs-path image ids."""
+    from PIL import Image
+
+    from multibox_tpu.data.pipeline import ImageFileDataset
+
+    paths = []
+    for i, (name, size, fmt) in enumerate(
+        [("a.jpg", (60, 40), "JPEG"), ("b.png", (30, 50), "PNG"),
+         ("c.jpg", (80, 80), "JPEG")]
+    ):
+        img = synth_image(rng, *size)
+        p = str(tmp_path / name)
+        Image.fromarray(img).save(p, format=fmt)
+        paths.append(p)
+
+    ds = ImageFileDataset(paths, batch_size=2, canvas_size=32)
+    batches = list(ds)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (2, 32, 32, 3)
+    assert batches[0]["images"].dtype == np.uint8
+    assert batches[0]["image_ids"] == ["a.jpg", "b.png"]
+    assert batches[1]["batch_valid"] == 1  # padded final batch
+    assert batches[1]["images"][1].sum() == 0
+    # source pixel sizes recorded as (height, width)
+    assert ds.sizes["a.jpg"] == (60, 40)
+    assert ds.sizes["b.png"] == (30, 50)
+
+    # basename collision -> full paths as ids
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    dup = str(sub / "a.jpg")
+    Image.fromarray(synth_image(rng, 20, 20)).save(dup, format="JPEG")
+    ds2 = ImageFileDataset([paths[0], dup], batch_size=2, canvas_size=16)
+    (b,) = list(ds2)
+    assert b["image_ids"] == [paths[0], dup]
+
+    with pytest.raises(ValueError):
+        ImageFileDataset([], batch_size=2, canvas_size=16)
