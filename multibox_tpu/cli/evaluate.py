@@ -70,6 +70,7 @@ def main(argv=None) -> int:
     setup_logging()
 
     tfrecords = expand_tfrecords(args.tfrecords)
+    cfg = load_config(args)  # one parse serves detection + gt loading
     if args.detections:
         if args.detections.endswith(".json"):
             with open(args.detections) as f:
@@ -82,7 +83,6 @@ def main(argv=None) -> int:
             raise SystemExit("need --detections or (--checkpoint_path and --priors)")
         from multibox_tpu.cli.detect import run_detection
 
-        cfg = load_config(args)
         priors = priors_mod.load_priors(args.priors)
         cfg.num_priors = priors.shape[0]
         results = run_detection(cfg, tfrecords, priors, args.checkpoint_path)
@@ -92,7 +92,7 @@ def main(argv=None) -> int:
     # protocol would multiply eval IO).
     gt, gt_labels, sizes = load_groundtruth(
         tfrecords, with_labels=True, with_sizes=True,
-        label_offset=load_config(args).label_offset,
+        label_offset=cfg.label_offset,
     )
     if args.per_class:
         from multibox_tpu.evaluate import evaluate_detections_per_class

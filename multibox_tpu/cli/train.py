@@ -74,13 +74,16 @@ def _supervise(argv: list, logdir: str, total: int, restart: int,
     unchanged. ``run_child`` is injectable for tests; the default launches
     the real CLI in a fresh interpreter.
     """
-    base = _strip_flag(
-        _strip_flag(list(argv), "--restart_every_steps"),
-        "--max_number_of_steps",
-    )
+    base = list(argv)
+    for flag in ("--restart_every_steps", "--max_number_of_steps",
+                 "--schedule_total_steps"):
+        base = _strip_flag(base, flag)
     child = [
         sys.executable, "-m", "multibox_tpu.cli.train",
         *base, "--restart_every_steps", "0",
+        # Children stop at intermediate boundaries, but the LR schedule
+        # must anneal over the FULL run, not per child.
+        "--schedule_total_steps", str(total),
     ]
 
     done = _latest_ckpt_step(logdir)
@@ -127,6 +130,10 @@ def main(argv=None) -> int:
                         help="supervise bounded-lifetime child processes of N "
                              "steps each (crash auto-restart + host-RAM "
                              "reclaim; overrides cfg.restart_every_steps)")
+    parser.add_argument("--schedule_total_steps", type=int, default=None,
+                        help="LR-schedule horizon when one logical run spans "
+                             "several bounded invocations (the supervisor "
+                             "sets this automatically for its children)")
     add_config_arg(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -164,6 +171,7 @@ def main(argv=None) -> int:
             expand_tfrecords(args.eval_tfrecords) if args.eval_tfrecords else None
         ),
         eval_every_steps=args.eval_every_steps,
+        schedule_total=args.schedule_total_steps,
     )
     return 0
 

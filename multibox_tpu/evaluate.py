@@ -332,37 +332,28 @@ def evaluate_detections_by_size(
     if groundtruth_labels is None:
         class_slices = [(detections, groundtruth)]
     else:
-        class_ids = sorted(
-            {int(c) for labels in groundtruth_labels.values() for c in labels}
-        )
-        class_slices = []
-        for c in class_ids:
-            gt_c = {
-                img: np.asarray(boxes, np.float64).reshape(-1, 4)[
-                    np.asarray(groundtruth_labels[img]) == c
-                ]
-                for img, boxes in groundtruth.items()
-            }
-            det_c = [
-                {
-                    "image_id": det["image_id"],
-                    "boxes": np.asarray(det["boxes"], np.float64).reshape(-1, 4)[
-                        np.asarray(det.get("classes", [])) == c
-                    ],
-                    "scores": np.asarray(det["scores"], np.float64).reshape(-1)[
-                        np.asarray(det.get("classes", [])) == c
-                    ],
-                }
-                for det in detections
-            ]
-            class_slices.append((det_c, gt_c))
+        class_slices = [
+            _slice_by_class(detections, groundtruth, groundtruth_labels, c)
+            for c in sorted(
+                {int(c) for ls in groundtruth_labels.values() for c in ls}
+            )
+        ]
 
+    # The 10-threshold loop recomputes matching per threshold like
+    # average_precision does (cocoeval caches IoUs instead) — accepted for
+    # symmetry with the rest of this module; eval is offline host code.
     for name, (lo, hi) in ranges.items():
         ap50s, rec50s, coco_aps, n_gt = [], [], [], 0
         for det_s, gt_s in class_slices:
             ap50, rec50, n = _average_precision_banded(
                 det_s, gt_s, image_sizes, lo, hi, 0.5
             )
+            n_gt += n
+            if n == 0:
+                # cocoeval skips (-1) classes with no gt in the band —
+                # averaging their 0 in would deflate every band missing
+                # some class.
+                continue
             aps = [
                 _average_precision_banded(det_s, gt_s, image_sizes, lo, hi, t)[0]
                 for t in np.arange(0.5, 1.0, 0.05)
@@ -370,13 +361,47 @@ def evaluate_detections_by_size(
             ap50s.append(ap50)
             rec50s.append(rec50)
             coco_aps.append(float(np.mean(aps)))
-            n_gt += n
-        out[f"AP@0.5/{name}"] = float(np.mean(ap50s))
-        out[f"mAP@[.5:.95]/{name}"] = float(np.mean(coco_aps))
-        out[f"recall@0.5/{name}"] = float(np.mean(rec50s))
+        out[f"AP@0.5/{name}"] = float(np.mean(ap50s)) if ap50s else 0.0
+        out[f"mAP@[.5:.95]/{name}"] = float(np.mean(coco_aps)) if coco_aps else 0.0
+        out[f"recall@0.5/{name}"] = float(np.mean(rec50s)) if rec50s else 0.0
         out[f"num_gt/{name}"] = float(n_gt)
     out["num_images_skipped"] = float(skipped)
     return out
+
+
+def _slice_by_class(
+    detections: Sequence[Dict],
+    groundtruth_boxes: Dict[str, np.ndarray],
+    groundtruth_labels: Dict[str, np.ndarray],
+    c: int,
+) -> Tuple[List[Dict], Dict[str, np.ndarray]]:
+    """Restrict detections + gt to one class (the per-class protocols'
+    shared slicer). Robust to class-agnostic inputs: detections without a
+    ``classes`` entry count as class 0, images missing from
+    ``groundtruth_labels`` contribute no gt for any class."""
+    gt_c = {}
+    for img, boxes in groundtruth_boxes.items():
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+        labels = np.asarray(
+            groundtruth_labels.get(img, np.zeros(len(boxes)))
+        ).reshape(-1)
+        gt_c[img] = boxes[labels == c]
+    det_c = []
+    for det in detections:
+        boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)
+        scores = np.asarray(det["scores"], np.float64).reshape(-1)
+        classes = np.asarray(
+            det.get("classes", np.zeros(len(scores)))
+        ).reshape(-1)
+        mask = classes == c
+        det_c.append(
+            {
+                "image_id": det["image_id"],
+                "boxes": boxes[mask],
+                "scores": scores[mask],
+            }
+        )
+    return det_c, gt_c
 
 
 def evaluate_detections_per_class(
@@ -397,20 +422,9 @@ def evaluate_detections_per_class(
     per_class_50 = []
     per_class_coco = []
     for c in classes:
-        gt_c = {
-            img: boxes[np.asarray(groundtruth_labels[img]) == c]
-            for img, boxes in groundtruth_boxes.items()
-        }
-        det_c = []
-        for det in detections:
-            mask = np.asarray(det.get("classes", [])) == c
-            det_c.append(
-                {
-                    "image_id": det["image_id"],
-                    "boxes": np.asarray(det["boxes"]).reshape(-1, 4)[mask],
-                    "scores": np.asarray(det["scores"]).reshape(-1)[mask],
-                }
-            )
+        det_c, gt_c = _slice_by_class(
+            detections, groundtruth_boxes, groundtruth_labels, c
+        )
         ap50, _ = average_precision(det_c, gt_c, 0.5)
         coco = float(
             np.mean(

@@ -229,6 +229,21 @@ def make_detect_loop_fns(cfg: Config, priors, use_ema: bool = None):
             return dets  # [K, B, max_detections, 7]
 
         fns["chunked"] = jax.jit(chunked)
+
+    devices = jax.devices()
+    if len(devices) > 1 and cfg.batch_size % len(devices) == 0:
+        # Mesh-path program built HERE (not per run_detect_loop call) so
+        # periodic in-training eval on a mesh reuses one traced function
+        # instead of re-jitting per eval (a fresh remote compile each
+        # time on high-latency links).
+        from multibox_tpu.parallel.mesh import (
+            make_mesh,
+            make_parallel_detect_fn,
+        )
+
+        mesh = make_mesh(devices, cfg.data_axis)
+        fns["mesh"] = mesh
+        fns["pdetect"] = make_parallel_detect_fn(one, mesh, cfg.data_axis)
     return fns
 
 
@@ -265,31 +280,34 @@ def run_detect_loop(
     devices = jax.devices()
     use_mesh = len(devices) > 1 and cfg.batch_size % len(devices) == 0
 
-    if use_mesh:
-        from multibox_tpu.parallel.mesh import (
-            make_mesh,
-            make_parallel_detect_fn,
-            replicated,
-            shard_batch,
+    if jax.process_count() > 1:
+        # Multi-HOST detect is not supported: the dataset here is not
+        # process-sharded (every host would feed the same images as if
+        # they were distinct slices) and drain() cannot np.asarray an
+        # output spanning non-addressable devices. Run detect/eval on one
+        # host, or shard the tfrecords across independent single-host
+        # invocations.
+        raise NotImplementedError(
+            "run_detect_loop on a multi-process mesh: evaluate on a "
+            "single host (multi-host is supported for TRAINING only)"
         )
+    if use_mesh and "pdetect" in fns:
+        # The parallel program was traced ONCE in make_detect_loop_fns —
+        # periodic in-training eval must not re-jit it per invocation
+        # (fresh remote compiles on high-latency links). preprocess_eval
+        # runs inside the sharded program.
+        from multibox_tpu.parallel.mesh import replicated, shard_batch
 
-        from multibox_tpu.data.augment import preprocess_eval
-
-        mesh = make_mesh(devices, cfg.data_axis)
-        pdetect = make_parallel_detect_fn(
-            lambda v, im: _pack_dets(fns["body"](v, im)), mesh, cfg.data_axis
-        )
+        mesh = fns["mesh"]
+        pdetect = fns["pdetect"]
         variables = jax.device_put(variables, replicated(mesh))
-        preprocess = jax.jit(lambda imgs: preprocess_eval(imgs, cfg.input_size))
 
         def dispatch(group):
             return [
                 pdetect(
                     variables,
-                    preprocess(
-                        shard_batch(
-                            jnp.asarray(b["images"]), mesh, cfg.data_axis
-                        )
+                    shard_batch(
+                        jnp.asarray(b["images"]), mesh, cfg.data_axis
                     ),
                 )
                 for b in group

@@ -12,6 +12,7 @@ The TPU-native equivalent of ref:train.py's Supervisor loop (SURVEY.md §3.1):
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import time
@@ -136,11 +137,23 @@ def train(
     canvas_size: Optional[int] = None,
     eval_tfrecords: Optional[Sequence[str]] = None,
     eval_every_steps: int = 0,
+    schedule_total: Optional[int] = None,
 ) -> TrainState:
     """Run training; returns the final state. Resumes from logdir if a
-    checkpoint exists (reference Supervisor behavior)."""
+    checkpoint exists (reference Supervisor behavior).
+
+    ``max_steps`` bounds THIS invocation; the LR schedule's horizon
+    follows it (a cosine annealed over cfg's default 100k while the run
+    stops at 5k would silently behave like constant LR). When one logical
+    run spans several bounded invocations (the --restart_every_steps
+    supervisor), ``schedule_total`` pins the horizon to the full-run
+    length so every child anneals on the same curve."""
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    total = max_steps if max_steps is not None else cfg.max_number_of_steps
+    horizon = schedule_total if schedule_total is not None else total
+    if horizon != cfg.max_number_of_steps:
+        cfg = dataclasses.replace(cfg, max_number_of_steps=horizon)
     priors = jnp.asarray(priors, jnp.float32)
     model = build_model(cfg, priors.shape[0])
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed), priors.shape[0])
@@ -229,7 +242,13 @@ def train(
         max_num_bboxes=cfg.max_num_bboxes,
         shuffle=True,
         repeat=True,
-        seed=cfg.seed,
+        # Mix the resume step into the shuffle seed: a resumed run (or
+        # each --restart_every_steps child) must NOT replay the stream
+        # from the top, or a run chained from bounded segments only ever
+        # trains on the first segment's records. Same seed on every host
+        # of a sharded run (start_step comes from the shared checkpoint),
+        # so path order stays host-identical.
+        seed=cfg.seed + start_step,
         decode_draft=cfg.decode_draft,
         cache_items=cfg.decode_cache_items,
         label_offset=cfg.label_offset,
@@ -243,7 +262,6 @@ def train(
         shard_count=jax.process_count(),
     )
     writer = MetricsWriter(logdir)
-    total = max_steps if max_steps is not None else cfg.max_number_of_steps
 
     def host_batches():
         for batch in dataset:
@@ -346,6 +364,19 @@ def train(
                     step_idx, batch["images"], batch["boxes"],
                     batch["num_boxes"],
                 )
+            if (
+                eval_tfrecords
+                and eval_every_steps
+                and jax.process_count() > 1
+            ):
+                # run_detect_loop refuses multi-process meshes (un-sharded
+                # eval inputs would double-count; outputs span
+                # non-addressable devices) — warn once and train on.
+                log.warning(
+                    "periodic eval skipped on a multi-process mesh; run "
+                    "multibox-eval on a single host instead"
+                )
+                eval_tfrecords = None
             if (
                 eval_tfrecords
                 and eval_every_steps

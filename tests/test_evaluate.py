@@ -244,3 +244,47 @@ def test_by_size_per_class_stratification():
     # 0 dets -> AP(class 0) = 1.0 (TP ranked first), AP(class 1) = 0.
     assert per_class["AP@0.5/small"] == pytest.approx(0.5)
     assert per_class["num_gt/small"] == 2.0
+
+
+def test_by_size_per_class_skips_classes_absent_from_band():
+    """cocoeval excludes classes with no gt in a band (-1 entries) from
+    the band average — a perfect detector must score 1.0 on the small
+    band even when one class has no small objects."""
+    from multibox_tpu.evaluate import evaluate_detections_by_size as ev
+
+    small = [0.1, 0.1, 0.3, 0.14]     # 80 px^2 -> small on 100px image
+    large = [0.0, 0.0, 0.99, 0.99]    # 9801 px^2 -> large
+    gt = {"a": np.array([small, large])}
+    labels = {"a": np.array([0, 1])}  # class 1 has NO small gt
+    sizes = {"a": (100, 100)}
+    dets = [{"image_id": "a", "boxes": np.array([small, large]),
+             "scores": np.array([0.9, 0.8]), "classes": np.array([0, 1])}]
+    m = ev(dets, gt, sizes, groundtruth_labels=labels)
+    assert m["AP@0.5/small"] == pytest.approx(1.0)
+    assert m["AP@0.5/large"] == pytest.approx(1.0)
+    assert m["AP@0.5/medium"] == 0.0 and m["num_gt/medium"] == 0.0
+
+
+def test_per_class_protocols_tolerate_classless_detections():
+    """A class-agnostic detections file (no 'classes' key) must evaluate
+    under the per-class protocols as class 0, not crash."""
+    from multibox_tpu.evaluate import (
+        evaluate_detections_by_size,
+        evaluate_detections_per_class,
+    )
+
+    box = [0.1, 0.1, 0.3, 0.14]
+    gt = {"a": np.array([box])}
+    labels = {"a": np.array([0])}
+    dets = [{"image_id": "a", "boxes": np.array([box]),
+             "scores": np.array([0.9])}]  # no "classes"
+    m1 = evaluate_detections_per_class(dets, gt, labels)
+    assert m1["mAP@0.5"] == pytest.approx(1.0)
+    m2 = evaluate_detections_by_size(
+        dets, gt, {"a": (100, 100)}, groundtruth_labels=labels
+    )
+    assert m2["AP@0.5/small"] == pytest.approx(1.0)
+    # image with gt boxes but missing labels entry: no gt for any class
+    gt2 = {"a": np.array([box]), "orphan": np.array([box])}
+    m3 = evaluate_detections_per_class(dets, gt2, labels)
+    assert np.isfinite(m3["mAP@0.5"])

@@ -405,3 +405,28 @@ def test_clip_gradient_norm_bounds_update():
         updates, _ = tx.update(grads, tx.init(params), params)
         norm = float(jnp.linalg.norm(updates["w"]))
         assert norm == pytest.approx(expected, rel=1e-5), (clip, norm)
+
+
+def test_train_wires_step_bound_into_schedule_horizon(monkeypatch, tmp_path):
+    """The LR schedule must anneal over the ACTUAL run length: max_steps
+    sets the horizon, and schedule_total overrides it for bounded child
+    invocations chained by the supervisor."""
+    from multibox_tpu.train import loop
+
+    captured = {}
+
+    def capture_cfg(cfg, model, rng, num_priors):
+        captured["cfg"] = cfg
+        raise RuntimeError("stop after capture")
+
+    monkeypatch.setattr(loop, "create_train_state", capture_cfg)
+    cfg = Config(lr_schedule="cosine", max_number_of_steps=100000)
+    priors = np.zeros((4, 4), np.float32)
+    with pytest.raises(RuntimeError):
+        loop.train(cfg, ["x.tfrecord"], priors, str(tmp_path), max_steps=123)
+    assert captured["cfg"].max_number_of_steps == 123
+    with pytest.raises(RuntimeError):
+        loop.train(cfg, ["x.tfrecord"], priors, str(tmp_path),
+                   max_steps=5, schedule_total=777)
+    assert captured["cfg"].max_number_of_steps == 777
+    assert cfg.max_number_of_steps == 100000  # caller's cfg untouched

@@ -44,9 +44,12 @@ def test_supervise_chains_children_to_total(tmp_path):
     targets = []
 
     def child(argv):
-        # Original flags preserved, supervisor flag overridden to 0.
+        # Original flags preserved, supervisor flag overridden to 0, and
+        # the LR-schedule horizon pinned to the FULL run length (children
+        # stop early but must anneal on the same curve).
         assert "--no_mesh" in argv and "LOGDIR" in argv
         assert argv[argv.index("--restart_every_steps") + 1] == "0"
+        assert argv[argv.index("--schedule_total_steps") + 1] == "7"
         target = int(argv[argv.index("--max_number_of_steps") + 1])
         targets.append(target)
         _mark_step(tmp_path, target)
