@@ -25,9 +25,54 @@ from multibox_tpu.data.jpeg import decode_jpeg
 from multibox_tpu.data.tfrecord import TFRecordWriter
 
 
+def coco_to_items(coco: dict, skip_crowd: bool = True) -> list:
+    """Convert a COCO instances dict to the builder's item list.
+
+    COCO: ``images`` [{id, file_name, height, width}], ``annotations``
+    [{image_id, category_id, bbox [x, y, w, h] in pixels, iscrowd}].
+    Pixel xywh becomes normalized (ymin, xmin, ymax, xmax) via each
+    image's recorded height/width, clipped to [0, 1] (COCO boxes may
+    overhang the frame slightly); labels are the raw ``category_id``
+    (typically 1-based — train/eval with ``label_offset: 1``). Crowd
+    regions are skipped by default (the usual training protocol; this
+    builder has no ignore-region channel).
+    """
+    by_image = {}
+    for ann in coco.get("annotations", []):
+        if skip_crowd and ann.get("iscrowd"):
+            continue
+        by_image.setdefault(ann["image_id"], []).append(ann)
+    items = []
+    for img in coco["images"]:
+        h, w = float(img["height"]), float(img["width"])
+        boxes, labels = [], []
+        for ann in by_image.get(img["id"], []):
+            x, y, bw, bh = ann["bbox"]
+            boxes.append([
+                min(max(y / h, 0.0), 1.0),
+                min(max(x / w, 0.0), 1.0),
+                min(max((y + bh) / h, 0.0), 1.0),
+                min(max((x + bw) / w, 0.0), 1.0),
+            ])
+            labels.append(int(ann["category_id"]))
+        items.append({
+            "image": img["file_name"],
+            "id": str(img["id"]),
+            "boxes": boxes,
+            "labels": labels,
+        })
+    return items
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--annotations", required=True, help="JSON annotations")
+    parser.add_argument("--coco", action="store_true",
+                        help="annotations file is COCO instances format "
+                             "(pixel xywh bboxes, category_id labels)")
+    parser.add_argument("--keep_crowd", action="store_true",
+                        help="with --coco: keep iscrowd annotations as "
+                             "ordinary boxes instead of skipping them")
     parser.add_argument("--image_root", default=".", help="base dir for image paths")
     parser.add_argument("--output_prefix", required=True,
                         help="e.g. /data/train -> /data/train-00000-of-00002.tfrecord")
@@ -44,6 +89,8 @@ def main(argv=None) -> int:
 
     with open(args.annotations) as f:
         items = json.load(f)
+    if args.coco:
+        items = coco_to_items(items, skip_crowd=not args.keep_crowd)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output_prefix)), exist_ok=True)
     writers = [

@@ -551,3 +551,58 @@ def test_20_detect_cli_raw_images(workdir, priors_file, trained_logdir,
     with pytest.raises(SystemExit):
         main(["--priors", priors_file, "--checkpoint_path", trained_logdir,
               "--output", out])
+
+
+def test_21_dataset_cli_coco_input(tmp_path):
+    """--coco ingests COCO instances JSON (pixel xywh, category_id,
+    iscrowd skipping) into the standard tfrecord schema; the exported
+    to_coco_results round-trips the geometry."""
+    from PIL import Image
+
+    from multibox_tpu.cli.dataset import main
+    from multibox_tpu.cli.evaluate import load_groundtruth
+    from multibox_tpu.evaluate import to_coco_results
+
+    rng = np.random.default_rng(1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for name, (h, w) in (("one.jpg", (100, 200)), ("two.jpg", (50, 50))):
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        ).save(str(img_dir / name), format="JPEG")
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "one.jpg", "height": 100, "width": 200},
+            {"id": 2, "file_name": "two.jpg", "height": 50, "width": 50},
+        ],
+        "annotations": [
+            {"image_id": 1, "category_id": 3, "bbox": [20, 10, 60, 40],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 200, 100],
+             "iscrowd": 1},  # crowd: skipped by default
+            {"image_id": 2, "category_id": 2, "bbox": [5, 5, 10, 20],
+             "iscrowd": 0},
+        ],
+        "categories": [{"id": i} for i in (1, 2, 3)],
+    }
+    ann = str(tmp_path / "coco.json")
+    json.dump(coco, open(ann, "w"))
+    prefix = str(tmp_path / "out" / "train")
+    assert main([
+        "--annotations", ann, "--coco",
+        "--image_root", str(img_dir), "--output_prefix", prefix,
+    ]) == 0
+    tfr = prefix + "-00000-of-00001.tfrecord"
+    gt, labels, sizes = load_groundtruth([tfr], with_labels=True,
+                                         with_sizes=True)
+    assert set(gt) == {"1", "2"}
+    assert labels["1"].tolist() == [3]  # crowd ann dropped
+    assert sizes["1"] == (100, 200)  # true decoded (height, width)
+    # bbox [x=20, y=10, w=60, h=40] on a 100x200 image -> normalized
+    np.testing.assert_allclose(gt["1"][0], [0.1, 0.1, 0.5, 0.4], atol=1e-6)
+    # Geometry round-trips through the COCO exporter.
+    dets = [{"image_id": "1", "boxes": gt["1"],
+             "scores": np.array([1.0]), "classes": labels["1"] - 1}]
+    (row,) = to_coco_results(dets, sizes, label_offset=1)
+    np.testing.assert_allclose(row["bbox"], [20, 10, 60, 40], atol=1e-4)
+    assert row["category_id"] == 3
