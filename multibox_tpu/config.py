@@ -118,6 +118,12 @@ class Config:
     # training chaos amplifies it — statistically equivalent, not bitwise.
     steps_per_host_transfer: int = 1
 
+    # NMS flavor: "hard" (reference semantics, Pallas-accelerated) or
+    # "soft" (Gaussian score decay, arXiv:1704.04503 — occluding true
+    # positives keep reduced scores instead of vanishing; jnp path).
+    nms_mode: str = "hard"
+    soft_nms_sigma: float = 0.5
+
     # --- augmentation (train input pipeline) ---
     augment: bool = True
     random_flip: bool = True

@@ -112,11 +112,35 @@ def average_precision(
     return ap, final_recall
 
 
+def average_recall(
+    detections: Sequence[Dict],
+    groundtruth: Dict[str, np.ndarray],
+    max_dets: int = 100,
+) -> float:
+    """COCO AR@maxDets: recall averaged over IoU ∈ [.5:.95:.05], with each
+    image's detections capped at the ``max_dets`` highest-scored."""
+    capped = []
+    for det in detections:
+        boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)
+        scores = np.asarray(det["scores"], np.float64).reshape(-1)
+        order = np.argsort(-scores, kind="stable")[:max_dets]
+        capped.append(
+            {"image_id": det["image_id"], "boxes": boxes[order],
+             "scores": scores[order]}
+        )
+    recalls = [
+        average_precision(capped, groundtruth, t)[1]
+        for t in np.arange(0.5, 1.0, 0.05)
+    ]
+    return float(np.mean(recalls))
+
+
 def evaluate_detections(
     detections: Sequence[Dict],
     groundtruth: Dict[str, np.ndarray],
 ) -> Dict[str, float]:
-    """Standard summary: AP@.5, AP@.75, COCO mAP@[.5:.95:.05], recall@.5."""
+    """Standard summary: AP@.5, AP@.75, COCO mAP@[.5:.95:.05], recall@.5,
+    AR@{1,10,100} (cocoeval's recall family)."""
     ap50, rec50 = average_precision(detections, groundtruth, 0.5)
     ap75, _ = average_precision(detections, groundtruth, 0.75)
     aps = [
@@ -128,6 +152,9 @@ def evaluate_detections(
         "AP@0.75": ap75,
         "mAP@[.5:.95]": float(np.mean(aps)),
         "recall@0.5": rec50,
+        "AR@1": average_recall(detections, groundtruth, 1),
+        "AR@10": average_recall(detections, groundtruth, 10),
+        "AR@100": average_recall(detections, groundtruth, 100),
         "num_images": float(len(detections)),
         "num_gt": float(sum(len(b) for b in groundtruth.values())),
     }

@@ -23,7 +23,7 @@ import numpy as np
 from multibox_tpu.config import Config
 from multibox_tpu.models.detector import MultiBoxDetector
 from multibox_tpu.ops import boxes as box_ops
-from multibox_tpu.ops.nms import batched_nms
+from multibox_tpu.ops.nms import batched_nms, batched_soft_nms
 from multibox_tpu.ops.pallas import resolve_use_pallas
 
 
@@ -107,15 +107,28 @@ def postprocess(
             scores = jnp.max(probs, axis=-1)
             class_ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
-    sel_boxes, sel_scores, sel_idx, num = batched_nms(
-        boxes,
-        scores,
-        cfg.max_detections,
-        iou_threshold=cfg.nms_iou_threshold,
-        score_threshold=cfg.detect_score_threshold,
-        class_ids=class_ids,
-        use_pallas=resolve_use_pallas(cfg.use_pallas),
-    )
+    if cfg.nms_mode == "soft":
+        # Gaussian soft-NMS (arXiv:1704.04503): occluding true positives
+        # decay instead of vanishing. jnp path only (the Pallas kernel
+        # implements hard suppression).
+        sel_boxes, sel_scores, sel_idx, num = batched_soft_nms(
+            boxes,
+            scores,
+            cfg.max_detections,
+            sigma=cfg.soft_nms_sigma,
+            score_threshold=max(cfg.detect_score_threshold, 1e-3),
+            class_ids=class_ids,
+        )
+    else:
+        sel_boxes, sel_scores, sel_idx, num = batched_nms(
+            boxes,
+            scores,
+            cfg.max_detections,
+            iou_threshold=cfg.nms_iou_threshold,
+            score_threshold=cfg.detect_score_threshold,
+            class_ids=class_ids,
+            use_pallas=resolve_use_pallas(cfg.use_pallas),
+        )
     if class_ids is None:
         sel_classes = jnp.zeros(sel_scores.shape, jnp.int32)
     else:

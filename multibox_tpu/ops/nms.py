@@ -93,6 +93,82 @@ def _nms_jnp(boxes, scores, max_outputs, iou_threshold, score_threshold):
     return sel_boxes, sel_scores, sel_idx, num_valid
 
 
+def soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_outputs: int,
+    sigma: float = 0.5,
+    score_threshold: float = 0.001,
+):
+    """Gaussian soft-NMS over one image (Bodla et al., arXiv:1704.04503).
+
+    Instead of removing boxes that overlap a selection, their scores decay
+    by ``exp(-iou²/σ)`` — overlapping true positives (occlusion) survive
+    with reduced confidence rather than vanishing. Selection records the
+    DECAYED score (the paper's protocol); a slot is invalid once the best
+    remaining decayed score falls below ``score_threshold`` (soft-NMS
+    needs a floor — decayed scores never reach exactly 0). Same static
+    output convention as :func:`nms`.
+    """
+    P = boxes.shape[0]
+    live = jnp.where(scores >= score_threshold, scores, -jnp.inf).astype(
+        jnp.float32
+    )
+
+    def body(k, state):
+        live, sel_idx, sel_scores, num_valid = state
+        best = jnp.argmax(live).astype(jnp.int32)
+        best_score = live[best]
+        valid = best_score >= score_threshold
+
+        sel_idx = sel_idx.at[k].set(jnp.where(valid, best, -1))
+        sel_scores = sel_scores.at[k].set(jnp.where(valid, best_score, -1.0))
+        num_valid = num_valid + valid.astype(jnp.int32)
+
+        ious = box_ops.iou_matrix(boxes[best][None, :], boxes)[0]  # [P]
+        decay = jnp.exp(-(ious * ious) / sigma)
+        decayed = jnp.where(jnp.arange(P) == best, -jnp.inf, live * decay)
+        live = jnp.where(valid, decayed, live)
+        return live, sel_idx, sel_scores, num_valid
+
+    sel_idx = jnp.full((max_outputs,), -1, dtype=jnp.int32)
+    sel_scores = jnp.full((max_outputs,), -1.0, dtype=jnp.float32)
+    _, sel_idx, sel_scores, num_valid = jax.lax.fori_loop(
+        0, max_outputs, body, (live, sel_idx, sel_scores, jnp.int32(0))
+    )
+    sel_boxes = jnp.where(
+        (sel_idx >= 0)[:, None], boxes[jnp.maximum(sel_idx, 0)], 0.0
+    )
+    return sel_boxes, sel_scores.astype(scores.dtype), sel_idx, num_valid
+
+
+def batched_soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_outputs: int,
+    sigma: float = 0.5,
+    score_threshold: float = 0.001,
+    class_ids: Optional[jnp.ndarray] = None,
+):
+    """Soft-NMS over a batch via vmap; ``class_ids`` restricts decay to
+    within-class pairs via the same coordinate-offset trick as
+    :func:`batched_nms` (cross-class IoU = 0 → decay 1 → untouched)."""
+    if class_ids is not None:
+        offset = class_ids.astype(boxes.dtype)[..., None] * 2.0
+        boxes_for_nms = boxes + offset
+    else:
+        boxes_for_nms = boxes
+
+    def one(b, s, raw):
+        sel_b, sel_s, sel_i, nv = soft_nms(
+            b, s, max_outputs, sigma, score_threshold
+        )
+        out_b = jnp.where((sel_i >= 0)[:, None], raw[jnp.maximum(sel_i, 0)], 0.0)
+        return out_b, sel_s, sel_i, nv
+
+    return jax.vmap(one)(boxes_for_nms, scores, boxes)
+
+
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

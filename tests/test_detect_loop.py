@@ -90,3 +90,34 @@ def test_score_threshold_filter(fixture):
     n_all = sum(len(r["scores"]) for r in all_dets)
     n_f = sum(len(r["scores"]) for r in filtered)
     assert 0 < n_f < n_all
+
+
+def test_soft_nms_postprocess_jits_and_fills_slots(rng):
+    """nms_mode: soft runs inside the jitted postprocess with static
+    shapes, in both class-agnostic and multi-class (per-class sweep)
+    form."""
+    from multibox_tpu.inference import postprocess
+
+    P = 32
+    priors = jnp.asarray(np.sort(
+        rng.uniform(0, 1, (P, 2, 2)).astype(np.float32), axis=1
+    ).reshape(P, 4))
+    locs = jnp.zeros((2, P, 4), jnp.float32)
+
+    cfg = Config(num_priors=P, max_detections=8, nms_mode="soft",
+                 detect_score_threshold=0.05)
+    conf = jnp.asarray(rng.normal(0, 2, (2, P)).astype(np.float32))
+    out = jax.jit(lambda l, c: postprocess(l, c, priors, cfg))(locs, conf)
+    assert out["boxes"].shape == (2, 8, 4)
+    n = int(out["num"][0])
+    assert 0 < n <= 8
+    assert (np.asarray(out["scores"][0, :n]) >= 0.05).all()
+
+    cfg_mc = Config(num_priors=P, max_detections=8, nms_mode="soft",
+                    num_classes=3, detect_score_threshold=0.05,
+                    detect_candidates=64)
+    conf_mc = jnp.asarray(rng.normal(0, 2, (2, P, 3)).astype(np.float32))
+    out = jax.jit(lambda l, c: postprocess(l, c, priors, cfg_mc))(locs, conf_mc)
+    n = int(out["num"][0])
+    assert 0 < n <= 8
+    assert set(np.asarray(out["classes"][0, :n]).tolist()) <= {0, 1, 2}

@@ -288,3 +288,26 @@ def test_per_class_protocols_tolerate_classless_detections():
     gt2 = {"a": np.array([box]), "orphan": np.array([box])}
     m3 = evaluate_detections_per_class(dets, gt2, labels)
     assert np.isfinite(m3["mAP@0.5"])
+
+
+def test_average_recall_caps_detections():
+    """AR@1 keeps only each image's top-scored detection (cocoeval's
+    maxDets cap): with 2 gt and a perfect 2-detection answer, AR@1 = 0.5
+    while AR@10 = 1.0."""
+    from multibox_tpu.evaluate import average_recall
+
+    gt = {"a": np.array([[0.1, 0.1, 0.4, 0.4], [0.6, 0.6, 0.9, 0.9]])}
+    dets = [{"image_id": "a", "boxes": gt["a"],
+             "scores": np.array([0.9, 0.8])}]
+    assert average_recall(dets, gt, 1) == pytest.approx(0.5)
+    assert average_recall(dets, gt, 10) == pytest.approx(1.0)
+    # the cap picks by SCORE: a junk top-scored box drops AR@1 to 0
+    dets_bad = [{"image_id": "a",
+                 "boxes": np.array([[0.0, 0.0, 0.05, 0.05],
+                                    *gt["a"].tolist()]),
+                 "scores": np.array([0.95, 0.9, 0.8])}]
+    assert average_recall(dets_bad, gt, 1) == pytest.approx(0.0)
+    m = __import__("multibox_tpu.evaluate", fromlist=["evaluate_detections"])
+    summary = m.evaluate_detections(dets, gt)
+    assert summary["AR@100"] == pytest.approx(1.0)
+    assert summary["AR@1"] == pytest.approx(0.5)

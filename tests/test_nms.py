@@ -105,3 +105,88 @@ def test_batched_nms_per_class(rng):
     assert int(nv[0]) == 2  # one survivor per class
     got = sorted(np.asarray(sel_i[0])[: 2].tolist())
     assert got == [0, 2]
+
+
+# ---- Gaussian soft-NMS (arXiv:1704.04503) ----
+
+def test_soft_nms_matches_numpy_oracle(rng):
+    """jnp soft-NMS vs a direct numpy transcription of the paper's
+    Gaussian re-scoring loop."""
+    import numpy as np
+
+    import jax
+
+    from multibox_tpu.ops.nms import soft_nms
+
+    def oracle(boxes, scores, k, sigma, thr):
+        boxes = boxes.copy()
+        scores = scores.astype(np.float64).copy()
+        live = np.where(scores >= thr, scores, -np.inf)
+        out_idx, out_scores = [], []
+        for _ in range(k):
+            b = int(np.argmax(live))
+            if not live[b] >= thr:
+                break
+            out_idx.append(b)
+            out_scores.append(live[b])
+            # decay all remaining by overlap with the pick
+            yx0 = np.maximum(boxes[:, :2], boxes[b, :2])
+            yx1 = np.minimum(boxes[:, 2:], boxes[b, 2:])
+            inter = np.prod(np.clip(yx1 - yx0, 0, None), axis=1)
+            area = np.prod(boxes[:, 2:] - boxes[:, :2], axis=1)
+            union = area + area[b] - inter
+            iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0)
+            live = live * np.exp(-(iou ** 2) / sigma)
+            live[b] = -np.inf
+        return out_idx, out_scores
+
+    n = 64
+    boxes = np.sort(
+        rng.uniform(0, 1, (n, 2, 2)).astype(np.float32), axis=1
+    ).reshape(n, 4)
+    scores = rng.uniform(0, 1, (n,)).astype(np.float32)
+    for sigma, thr in ((0.5, 0.001), (0.1, 0.3)):
+        sb, ss, si, nv = jax.jit(
+            lambda b, s: soft_nms(jnp.array(b), jnp.array(s), 16, sigma, thr)
+        )(boxes, scores)
+        oi, osc = oracle(boxes, scores, 16, sigma, thr)
+        nv = int(nv)
+        assert si[:nv].tolist() == oi
+        np.testing.assert_allclose(np.asarray(ss)[:nv], osc, rtol=1e-4)
+        assert (np.asarray(si)[nv:] == -1).all()
+
+
+def test_soft_nms_keeps_occluded_true_positive():
+    """The motivating case: two heavily-overlapping objects. Hard NMS at
+    iou 0.5 keeps one; soft-NMS keeps both with the second decayed."""
+    import numpy as np
+
+    from multibox_tpu.ops.nms import nms, soft_nms
+
+    boxes = jnp.array([[0.1, 0.1, 0.5, 0.5], [0.15, 0.15, 0.55, 0.55]])
+    scores = jnp.array([0.9, 0.8])
+    _, _, _, nv_hard = nms(boxes, scores, 4, iou_threshold=0.5)
+    sb, ss, si, nv_soft = soft_nms(boxes, scores, 4, sigma=0.5,
+                                   score_threshold=0.01)
+    assert int(nv_hard) == 1
+    assert int(nv_soft) == 2
+    assert float(ss[1]) < 0.8  # second survives, decayed
+    assert si[:2].tolist() == [0, 1]
+
+
+def test_batched_soft_nms_class_isolation():
+    """Per-class soft-NMS: identical boxes of DIFFERENT classes must not
+    decay each other (coordinate-offset islands)."""
+    import numpy as np
+
+    from multibox_tpu.ops.nms import batched_soft_nms
+
+    box = [0.2, 0.2, 0.6, 0.6]
+    boxes = jnp.array([[box, box]])
+    scores = jnp.array([[0.9, 0.8]])
+    classes = jnp.array([[0, 1]], dtype=jnp.int32)
+    _, ss, _, nv = batched_soft_nms(boxes, scores, 4, sigma=0.5,
+                                    score_threshold=0.01,
+                                    class_ids=classes)
+    assert int(nv[0]) == 2
+    np.testing.assert_allclose(np.asarray(ss[0, :2]), [0.9, 0.8], rtol=1e-6)
