@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     parser.add_argument("--priors", required=True)
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--batch_sizes", type=int, nargs="+", default=None,
+                        help="export one program per batch size (static "
+                             "shapes); serving.load_exported dispatches "
+                             "each request to the best-fitting size and "
+                             "pads only the remainder")
     parser.add_argument("--saved_model", action="store_true",
                         help="also write a TF SavedModel via jax2tf")
     parser.add_argument("--fold_bn", action="store_true",
@@ -74,20 +79,29 @@ def main(argv=None) -> int:
         return postprocess(loc, conf, priors_j, cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)
+    sizes = sorted(set(args.batch_sizes or [args.batch_size]))
     example = jnp.zeros(
-        (args.batch_size, cfg.input_size, cfg.input_size, 3), jnp.float32
+        (sizes[0], cfg.input_size, cfg.input_size, 3), jnp.float32
     )
 
     from jax import export as jax_export
 
-    exported = jax_export.export(jax.jit(frozen_detect))(
-        jax.ShapeDtypeStruct(example.shape, example.dtype)
-    )
-    blob = exported.serialize()
-    with open(os.path.join(args.output_dir, "detect.stablehlo.bin"), "wb") as f:
-        f.write(blob)
-    with open(os.path.join(args.output_dir, "detect.mlir.txt"), "w") as f:
-        f.write(str(exported.mlir_module()))
+    for i, bs in enumerate(sizes):
+        exported = jax_export.export(jax.jit(frozen_detect))(
+            jax.ShapeDtypeStruct(
+                (bs, cfg.input_size, cfg.input_size, 3), jnp.float32
+            )
+        )
+        # The smallest size keeps the historical primary filename (older
+        # loaders read only that); extra sizes are detect_b{N} siblings.
+        name = (
+            "detect.stablehlo.bin" if i == 0 else f"detect_b{bs}.stablehlo.bin"
+        )
+        with open(os.path.join(args.output_dir, name), "wb") as f:
+            f.write(exported.serialize())
+        if i == 0:
+            with open(os.path.join(args.output_dir, "detect.mlir.txt"), "w") as f:
+                f.write(str(exported.mlir_module()))
 
     flat = {}
     import flax

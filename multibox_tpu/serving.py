@@ -3,7 +3,9 @@
 The consumer side of ``multibox-export`` (ref:export.py produced a frozen
 GraphDef consumed by downstream apps; SURVEY.md §2 C13). An export
 directory contains ``detect.stablehlo.bin`` (serialized ``jax.export``
-artifact with EMA weights baked in), ``priors.pkl`` and ``config.pkl``.
+artifact with EMA weights baked in), optional ``detect_b{N}.stablehlo.bin``
+siblings for additional batch sizes (``multibox-export --batch_sizes``),
+``priors.pkl`` and ``config.pkl``.
 
 ``load_exported`` returns a ready detector: a callable
 ``detect(images) -> {boxes, scores, classes, num}`` plus its config and
@@ -12,9 +14,10 @@ priors — no flax/model code needed at serving time, just jax.
 
 from __future__ import annotations
 
+import glob
 import os
 import pickle
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Dict
 
 import numpy as np
@@ -30,20 +33,29 @@ class ExportedDetector:
     priors: np.ndarray
     batch_size: int
     input_size: int
+    # batch size -> compiled program; single-program exports have one entry.
+    calls: Dict[int, Callable] = field(default_factory=dict)
 
     def __call__(self, images) -> Dict[str, np.ndarray]:
-        """Run detection on ``[B, S, S, 3]`` float32 images in [-1, 1];
-        pads/splits to the exported batch size automatically."""
+        """Run detection on ``[B, S, S, 3]`` float32 images in [-1, 1].
+
+        Exported programs have STATIC batch shapes; requests dispatch to
+        the best-fitting exported size — greedily the largest program ≤
+        the remainder, falling back to the smallest program (padded) for
+        the tail — so a multi-size export pads at most ``min(sizes)-1``
+        rows per request instead of rounding everything up.
+        """
         images = np.asarray(images, np.float32)
         B = images.shape[0]
+        sizes = sorted(self.calls) or [self.batch_size]
         if B == 0:
             # Empty batch: derive output shapes/dtypes WITHOUT executing —
             # a real probe call would pay a fresh compile + execute on a
             # high-latency device link just to return nothing.
             spec = jax.eval_shape(
-                self.detect,
+                self.calls.get(sizes[0], self.detect),
                 jax.ShapeDtypeStruct(
-                    (self.batch_size, self.input_size, self.input_size, 3),
+                    (sizes[0], self.input_size, self.input_size, 3),
                     jnp.float32,
                 ),
             )
@@ -52,43 +64,55 @@ class ExportedDetector:
                 for k, v in spec.items()
             }
         out_parts = []
-        for start in range(0, B, self.batch_size):
-            chunk = images[start : start + self.batch_size]
-            n = chunk.shape[0]
-            if n < self.batch_size:
-                pad = np.zeros(
-                    (self.batch_size - n,) + chunk.shape[1:], np.float32
-                )
+        start = 0
+        while start < B:
+            rem = B - start
+            fitting = [s for s in sizes if s <= rem]
+            size = max(fitting) if fitting else sizes[0]
+            n = min(size, rem)
+            chunk = images[start : start + n]
+            if n < size:
+                pad = np.zeros((size - n,) + chunk.shape[1:], np.float32)
                 chunk = np.concatenate([chunk, pad])
-            res = self.detect(jnp.asarray(chunk))
+            call = self.calls.get(size, self.detect)
+            res = call(jnp.asarray(chunk))
             out_parts.append({k: np.asarray(v)[:n] for k, v in res.items()})
+            start += n
         return {
             k: np.concatenate([p[k] for p in out_parts]) for k in out_parts[0]
         }
 
 
 def load_exported(export_dir: str) -> ExportedDetector:
-    """Load a ``multibox-export`` directory into a callable detector."""
+    """Load a ``multibox-export`` directory into a callable detector.
+
+    Reads the primary ``detect.stablehlo.bin`` plus any
+    ``detect_b{N}.stablehlo.bin`` siblings (``--batch_sizes`` exports) and
+    dispatches per request batch size."""
     from jax import export as jax_export
 
-    with open(os.path.join(export_dir, "detect.stablehlo.bin"), "rb") as f:
-        exported = jax_export.deserialize(f.read())
+    paths = [os.path.join(export_dir, "detect.stablehlo.bin")]
+    paths += sorted(glob.glob(os.path.join(export_dir, "detect_b*.stablehlo.bin")))
+    calls: Dict[int, Callable] = {}
+    input_size = None
+    for path in paths:
+        with open(path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        (spec,) = exported.in_avals
+        calls[int(spec.shape[0])] = jax.jit(exported.call)
+        input_size = int(spec.shape[1])
+
     with open(os.path.join(export_dir, "config.pkl"), "rb") as f:
         config = pickle.load(f)
     with open(os.path.join(export_dir, "priors.pkl"), "rb") as f:
         priors = pickle.load(f)
 
-    (spec,) = exported.in_avals
-    batch_size, input_size = int(spec.shape[0]), int(spec.shape[1])
-    call = jax.jit(exported.call)
-
-    def detect(images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        return call(images)
-
+    largest = max(calls)
     return ExportedDetector(
-        detect=detect,
+        detect=calls[largest],
         config=config,
         priors=np.asarray(priors),
-        batch_size=batch_size,
+        batch_size=largest,
         input_size=input_size,
+        calls=calls,
     )

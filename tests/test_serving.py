@@ -132,3 +132,40 @@ def test_saved_model_export(export_dir, tmp_path):
             got_boxes = arr
     assert got_boxes is not None
     np.testing.assert_allclose(got_boxes, want["boxes"], atol=1e-5)
+
+
+def test_multi_batch_size_export_dispatch(export_dir, tmp_path):
+    """--batch_sizes exports one program per size; serving dispatches each
+    request to the best fit (largest <= remainder, smallest padded for
+    the tail) and matches the single-size export's outputs."""
+    from multibox_tpu.cli.export import main
+    from multibox_tpu.serving import load_exported
+    import os
+
+    # Re-export the same checkpoint with sizes {1, 4}.
+    src = os.path.dirname(export_dir)
+    out_dir = str(tmp_path / "export_multi")
+    assert main([
+        "--checkpoint_path", os.path.join(src, "ckpt"),
+        "--priors", os.path.join(src, "priors.pkl"),
+        "--output_dir", out_dir, "--config", os.path.join(src, "cfg.yaml"),
+        "--batch_sizes", "1", "4",
+    ]) == 0
+    assert os.path.exists(os.path.join(out_dir, "detect.stablehlo.bin"))
+    assert os.path.exists(os.path.join(out_dir, "detect_b4.stablehlo.bin"))
+
+    multi = load_exported(out_dir)
+    single = load_exported(export_dir)
+    assert sorted(multi.calls) == [1, 4]
+    assert multi.batch_size == 4
+
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(-1, 1, (6, 75, 75, 3)).astype(np.float32)
+    got = multi(imgs)          # dispatches 4 + 1 + 1: zero padding rows
+    want = single(imgs)        # 2+2+2 through the batch-2 export
+    assert got["boxes"].shape == (6, 5, 4)
+    np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-5)
+    np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+    # empty batch still served from shape inference only
+    empty = multi(np.zeros((0, 75, 75, 3), np.float32))
+    assert empty["boxes"].shape == (0, 5, 4)
