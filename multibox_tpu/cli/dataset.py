@@ -25,18 +25,42 @@ from multibox_tpu.data.jpeg import decode_jpeg
 from multibox_tpu.data.tfrecord import TFRecordWriter
 
 
-def coco_to_items(coco: dict, skip_crowd: bool = True) -> list:
+def coco_to_items(coco: dict, skip_crowd: bool = True,
+                  remap_categories: bool = False):
     """Convert a COCO instances dict to the builder's item list.
 
     COCO: ``images`` [{id, file_name, height, width}], ``annotations``
     [{image_id, category_id, bbox [x, y, w, h] in pixels, iscrowd}].
     Pixel xywh becomes normalized (ymin, xmin, ymax, xmax) via each
     image's recorded height/width, clipped to [0, 1] (COCO boxes may
-    overhang the frame slightly); labels are the raw ``category_id``
-    (typically 1-based — train/eval with ``label_offset: 1``). Crowd
-    regions are skipped by default (the usual training protocol; this
-    builder has no ignore-region channel).
+    overhang the frame slightly). Crowd regions are skipped by default
+    (the usual training protocol; this builder has no ignore-region
+    channel).
+
+    Labels: by default the raw ``category_id`` (typically 1-based —
+    train/eval with ``label_offset: 1``). Real COCO ids are
+    NON-CONTIGUOUS (2017 instances span 1..90 for 80 classes), which
+    would force dead confidence channels; ``remap_categories=True``
+    renumbers the ids present in ``categories`` (or, failing that, in the
+    annotations) to contiguous 1..C in sorted order, so ``label_offset:
+    1`` + ``num_classes: C`` just work. Returns ``(items, label_map)``
+    where label_map is {original_id: remapped_id} (identity when not
+    remapping).
+
+    Each item also carries the JSON-declared ``height``/``width`` so the
+    builder can cross-check them against the actually-decoded image —
+    stale metadata (e.g. locally downscaled images with the original
+    JSON) would otherwise silently normalize every box by the wrong
+    denominator.
     """
+    cat_ids = sorted(
+        {int(c["id"]) for c in coco.get("categories", [])}
+        or {int(a["category_id"]) for a in coco.get("annotations", [])}
+    )
+    if remap_categories:
+        label_map = {c: i + 1 for i, c in enumerate(cat_ids)}
+    else:
+        label_map = {c: c for c in cat_ids}
     by_image = {}
     for ann in coco.get("annotations", []):
         if skip_crowd and ann.get("iscrowd"):
@@ -54,14 +78,16 @@ def coco_to_items(coco: dict, skip_crowd: bool = True) -> list:
                 min(max((y + bh) / h, 0.0), 1.0),
                 min(max((x + bw) / w, 0.0), 1.0),
             ])
-            labels.append(int(ann["category_id"]))
+            labels.append(label_map[int(ann["category_id"])])
         items.append({
             "image": img["file_name"],
             "id": str(img["id"]),
             "boxes": boxes,
             "labels": labels,
+            "height": int(img["height"]),
+            "width": int(img["width"]),
         })
-    return items
+    return items, label_map
 
 
 def main(argv=None) -> int:
@@ -73,6 +99,12 @@ def main(argv=None) -> int:
     parser.add_argument("--keep_crowd", action="store_true",
                         help="with --coco: keep iscrowd annotations as "
                              "ordinary boxes instead of skipping them")
+    parser.add_argument("--remap_categories", action="store_true",
+                        help="with --coco: renumber non-contiguous COCO "
+                             "category_ids to contiguous 1..C (mapping "
+                             "written to label_map.json next to the "
+                             "shards) so label_offset: 1 + num_classes: C "
+                             "just work")
     parser.add_argument("--image_root", default=".", help="base dir for image paths")
     parser.add_argument("--output_prefix", required=True,
                         help="e.g. /data/train -> /data/train-00000-of-00002.tfrecord")
@@ -90,7 +122,21 @@ def main(argv=None) -> int:
     with open(args.annotations) as f:
         items = json.load(f)
     if args.coco:
-        items = coco_to_items(items, skip_crowd=not args.keep_crowd)
+        items, label_map = coco_to_items(
+            items, skip_crowd=not args.keep_crowd,
+            remap_categories=args.remap_categories,
+        )
+        if args.remap_categories:
+            map_path = os.path.join(
+                os.path.dirname(os.path.abspath(args.output_prefix)),
+                "label_map.json",
+            )
+            os.makedirs(os.path.dirname(map_path), exist_ok=True)
+            with open(map_path, "w") as f:
+                json.dump(
+                    {str(k): v for k, v in label_map.items()}, f, indent=1
+                )
+            print(f"wrote category remap to {map_path}")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output_prefix)), exist_ok=True)
     writers = [
@@ -106,6 +152,20 @@ def main(argv=None) -> int:
             image_bytes = f.read()
         # Validate the JPEG decodes; record true dimensions.
         img = decode_jpeg(image_bytes)
+        # Annotations normalized against DECLARED dimensions (the COCO
+        # path) are only correct if the file on disk actually has them —
+        # stale metadata (e.g. locally resized images with the original
+        # JSON) would silently skew every box.
+        if "height" in item and (
+            img.shape[0] != int(item["height"])
+            or img.shape[1] != int(item["width"])
+        ):
+            raise SystemExit(
+                f"{item.get('id', path)}: annotation declares "
+                f"{item['height']}x{item['width']} but {path} decodes to "
+                f"{img.shape[0]}x{img.shape[1]} — normalized boxes would "
+                "be wrong; fix the images or the annotations"
+            )
         boxes = np.asarray(item.get("boxes", []), np.float32).reshape(-1, 4)
         if len(boxes) and (boxes.min() < 0 or boxes.max() > 1.0):
             raise SystemExit(

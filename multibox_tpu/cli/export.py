@@ -80,6 +80,15 @@ def main(argv=None) -> int:
 
     os.makedirs(args.output_dir, exist_ok=True)
     sizes = sorted(set(args.batch_sizes or [args.batch_size]))
+    # Re-exports must not leave stale siblings from an earlier checkpoint:
+    # the serving loader globs detect_b*.stablehlo.bin, and a leftover
+    # would silently serve old weights for that batch size.
+    import glob as globmod
+
+    for stale in globmod.glob(
+        os.path.join(args.output_dir, "detect_b*.stablehlo.bin")
+    ):
+        os.remove(stale)
     example = jnp.zeros(
         (sizes[0], cfg.input_size, cfg.input_size, 3), jnp.float32
     )
@@ -114,13 +123,21 @@ def main(argv=None) -> int:
         pickle.dump(cfg, f)
 
     if args.saved_model:
-        _export_saved_model(frozen_detect, example, args.output_dir)
+        # One SavedModel per requested batch size (TF signatures are
+        # static too): the smallest keeps the historical saved_model/
+        # path, extras land in saved_model_b{N}/.
+        for i, bs in enumerate(sizes):
+            ex = jnp.zeros(
+                (bs, cfg.input_size, cfg.input_size, 3), jnp.float32
+            )
+            sub = "saved_model" if i == 0 else f"saved_model_b{bs}"
+            _export_saved_model(frozen_detect, ex, args.output_dir, sub)
 
     print(f"exported to {args.output_dir}")
     return 0
 
 
-def _export_saved_model(fn, example, output_dir):
+def _export_saved_model(fn, example, output_dir, subdir="saved_model"):
     import tensorflow as tf
     from jax.experimental import jax2tf
 
@@ -131,7 +148,7 @@ def _export_saved_model(fn, example, output_dir):
     )
     module = tf.Module()
     module.detect = tf_fn
-    tf.saved_model.save(module, os.path.join(output_dir, "saved_model"))
+    tf.saved_model.save(module, os.path.join(output_dir, subdir))
 
 
 if __name__ == "__main__":

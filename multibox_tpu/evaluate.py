@@ -141,20 +141,28 @@ def evaluate_detections(
 ) -> Dict[str, float]:
     """Standard summary: AP@.5, AP@.75, COCO mAP@[.5:.95:.05], recall@.5,
     AR@{1,10,100} (cocoeval's recall family)."""
-    ap50, rec50 = average_precision(detections, groundtruth, 0.5)
-    ap75, _ = average_precision(detections, groundtruth, 0.75)
-    aps = [
-        average_precision(detections, groundtruth, t)[0]
+    # One threshold sweep yields both the AP family and the uncapped
+    # recalls; AR@100 reuses those recalls whenever no image carries more
+    # than 100 detections (the common case — the detect pipeline caps at
+    # cfg.max_detections), so only AR@1/AR@10 pay extra capped passes.
+    pairs = [
+        average_precision(detections, groundtruth, t)
         for t in np.arange(0.5, 1.0, 0.05)
     ]
+    ap50, rec50 = pairs[0]
+    ap75 = pairs[5][0]
+    if all(len(np.asarray(d["scores"]).reshape(-1)) <= 100 for d in detections):
+        ar100 = float(np.mean([r for _, r in pairs]))
+    else:
+        ar100 = average_recall(detections, groundtruth, 100)
     return {
         "AP@0.5": ap50,
         "AP@0.75": ap75,
-        "mAP@[.5:.95]": float(np.mean(aps)),
+        "mAP@[.5:.95]": float(np.mean([a for a, _ in pairs])),
         "recall@0.5": rec50,
         "AR@1": average_recall(detections, groundtruth, 1),
         "AR@10": average_recall(detections, groundtruth, 10),
-        "AR@100": average_recall(detections, groundtruth, 100),
+        "AR@100": ar100,
         "num_images": float(len(detections)),
         "num_gt": float(sum(len(b) for b in groundtruth.values())),
     }

@@ -119,7 +119,7 @@ def postprocess(
             score_threshold=max(cfg.detect_score_threshold, 1e-3),
             class_ids=class_ids,
         )
-    else:
+    elif cfg.nms_mode == "hard":
         sel_boxes, sel_scores, sel_idx, num = batched_nms(
             boxes,
             scores,
@@ -128,6 +128,12 @@ def postprocess(
             score_threshold=cfg.detect_score_threshold,
             class_ids=class_ids,
             use_pallas=resolve_use_pallas(cfg.use_pallas),
+        )
+    else:
+        # A typo'd mode silently measuring the wrong NMS arm would poison
+        # any quality A/B — fail loudly.
+        raise ValueError(
+            f"unknown nms_mode: {cfg.nms_mode!r} (expected 'hard' or 'soft')"
         )
     if class_ids is None:
         sel_classes = jnp.zeros(sel_scores.shape, jnp.int32)

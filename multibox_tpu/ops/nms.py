@@ -142,6 +142,25 @@ def soft_nms(
     return sel_boxes, sel_scores.astype(scores.dtype), sel_idx, num_valid
 
 
+def _vmap_with_class_offset(nms_one, boxes, scores, class_ids):
+    """Shared batching wrapper for hard/soft NMS: shift each class into a
+    disjoint coordinate island (cross-class IoU = 0 → no suppression /
+    decay across classes), run the per-image NMS under vmap, and gather
+    the UN-offset boxes by selected index."""
+    if class_ids is not None:
+        offset = class_ids.astype(boxes.dtype)[..., None] * 2.0
+        boxes_for_nms = boxes + offset
+    else:
+        boxes_for_nms = boxes
+
+    def one(b, s, raw):
+        sel_b, sel_s, sel_i, nv = nms_one(b, s)
+        out_b = jnp.where((sel_i >= 0)[:, None], raw[jnp.maximum(sel_i, 0)], 0.0)
+        return out_b, sel_s, sel_i, nv
+
+    return jax.vmap(one)(boxes_for_nms, scores, boxes)
+
+
 def batched_soft_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -151,22 +170,11 @@ def batched_soft_nms(
     class_ids: Optional[jnp.ndarray] = None,
 ):
     """Soft-NMS over a batch via vmap; ``class_ids`` restricts decay to
-    within-class pairs via the same coordinate-offset trick as
-    :func:`batched_nms` (cross-class IoU = 0 → decay 1 → untouched)."""
-    if class_ids is not None:
-        offset = class_ids.astype(boxes.dtype)[..., None] * 2.0
-        boxes_for_nms = boxes + offset
-    else:
-        boxes_for_nms = boxes
-
-    def one(b, s, raw):
-        sel_b, sel_s, sel_i, nv = soft_nms(
-            b, s, max_outputs, sigma, score_threshold
-        )
-        out_b = jnp.where((sel_i >= 0)[:, None], raw[jnp.maximum(sel_i, 0)], 0.0)
-        return out_b, sel_s, sel_i, nv
-
-    return jax.vmap(one)(boxes_for_nms, scores, boxes)
+    within-class pairs (see :func:`_vmap_with_class_offset`)."""
+    return _vmap_with_class_offset(
+        lambda b, s: soft_nms(b, s, max_outputs, sigma, score_threshold),
+        boxes, scores, class_ids,
+    )
 
 
 def batched_nms(
@@ -184,18 +192,16 @@ def batched_nms(
     within a class (per-class NMS) — implemented with the standard
     coordinate-offset trick so a single NMS pass handles all classes.
     """
-    if class_ids is not None:
-        # Shift each class into its own disjoint coordinate island.
-        offset = class_ids.astype(boxes.dtype)[..., None] * 2.0
-        boxes_for_nms = boxes + offset
-    else:
-        boxes_for_nms = boxes
-
     if use_pallas:
         # Batch-native kernel: images tiled onto the VPU sublane axis, the
         # whole suppression loop VMEM-resident (ops.pallas.nms_kernel).
         from multibox_tpu.ops.pallas import nms_kernel
 
+        if class_ids is not None:
+            offset = class_ids.astype(boxes.dtype)[..., None] * 2.0
+            boxes_for_nms = boxes + offset
+        else:
+            boxes_for_nms = boxes
         _, sel_s, sel_i, nv = nms_kernel.nms_pallas_batched(
             boxes_for_nms, scores, max_outputs, iou_threshold, score_threshold
         )
@@ -209,12 +215,7 @@ def batched_nms(
         )
         return out_b, sel_s, sel_i, nv
 
-    def one(b, s, raw):
-        sel_b, sel_s, sel_i, nv = nms(
-            b, s, max_outputs, iou_threshold, score_threshold
-        )
-        # Return un-offset boxes gathered by selected index.
-        out_b = jnp.where((sel_i >= 0)[:, None], raw[jnp.maximum(sel_i, 0)], 0.0)
-        return out_b, sel_s, sel_i, nv
-
-    return jax.vmap(one)(boxes_for_nms, scores, boxes)
+    return _vmap_with_class_offset(
+        lambda b, s: nms(b, s, max_outputs, iou_threshold, score_threshold),
+        boxes, scores, class_ids,
+    )

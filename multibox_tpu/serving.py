@@ -99,8 +99,12 @@ def load_exported(export_dir: str) -> ExportedDetector:
         with open(path, "rb") as f:
             exported = jax_export.deserialize(f.read())
         (spec,) = exported.in_avals
-        calls[int(spec.shape[0])] = jax.jit(exported.call)
-        input_size = int(spec.shape[1])
+        # Primary first + setdefault: on a batch-size collision the primary
+        # wins (a stale sibling left by an older exporter must not shadow
+        # the fresh program; multibox-export now also deletes stale ones).
+        calls.setdefault(int(spec.shape[0]), jax.jit(exported.call))
+        if input_size is None:
+            input_size = int(spec.shape[1])
 
     with open(os.path.join(export_dir, "config.pkl"), "rb") as f:
         config = pickle.load(f)

@@ -606,3 +606,53 @@ def test_21_dataset_cli_coco_input(tmp_path):
     (row,) = to_coco_results(dets, sizes, label_offset=1)
     np.testing.assert_allclose(row["bbox"], [20, 10, 60, 40], atol=1e-4)
     assert row["category_id"] == 3
+
+
+def test_22_dataset_coco_remap_and_size_check(tmp_path):
+    """--remap_categories renumbers gappy COCO ids to contiguous 1..C
+    (mapping persisted); declared-vs-decoded size mismatches fail loudly
+    instead of silently skewing every normalized box."""
+    from PIL import Image
+
+    from multibox_tpu.cli.dataset import main
+
+    rng = np.random.default_rng(2)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(
+        rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    ).save(str(img_dir / "a.jpg"), format="JPEG")
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 40, "width": 60}],
+        "annotations": [
+            {"image_id": 1, "category_id": 17, "bbox": [6, 4, 12, 8],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 90, "bbox": [30, 20, 12, 8],
+             "iscrowd": 0},
+        ],
+        "categories": [{"id": 17}, {"id": 90}],  # gappy, like real COCO
+    }
+    ann = str(tmp_path / "coco.json")
+    json.dump(coco, open(ann, "w"))
+    prefix = str(tmp_path / "out" / "train")
+    assert main([
+        "--annotations", ann, "--coco", "--remap_categories",
+        "--image_root", str(img_dir), "--output_prefix", prefix,
+    ]) == 0
+    lm = json.load(open(str(tmp_path / "out" / "label_map.json")))
+    assert lm == {"17": 1, "90": 2}
+    from multibox_tpu.cli.evaluate import load_groundtruth
+
+    _, labels = load_groundtruth([prefix + "-00000-of-00001.tfrecord"],
+                                 with_labels=True)
+    assert sorted(labels["1"].tolist()) == [1, 2]  # contiguous, 1-based
+
+    # Stale metadata: declared 80x80 but the file is 40x60 -> hard error.
+    coco["images"][0]["height"] = coco["images"][0]["width"] = 80
+    json.dump(coco, open(ann, "w"))
+    with pytest.raises(SystemExit, match="decodes to"):
+        main([
+            "--annotations", ann, "--coco",
+            "--image_root", str(img_dir),
+            "--output_prefix", str(tmp_path / "out2" / "t"),
+        ])

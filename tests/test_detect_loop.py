@@ -121,3 +121,16 @@ def test_soft_nms_postprocess_jits_and_fills_slots(rng):
     n = int(out["num"][0])
     assert 0 < n <= 8
     assert set(np.asarray(out["classes"][0, :n]).tolist()) <= {0, 1, 2}
+
+
+def test_unknown_nms_mode_raises(rng):
+    """A typo'd nms_mode must fail loudly, not silently fall back to hard
+    NMS (that would poison quality A/Bs)."""
+    from multibox_tpu.inference import postprocess
+
+    priors = jnp.asarray(np.sort(
+        rng.uniform(0, 1, (8, 2, 2)).astype(np.float32), axis=1
+    ).reshape(8, 4))
+    cfg = Config(num_priors=8, max_detections=4, nms_mode="Soft")
+    with pytest.raises(ValueError, match="nms_mode"):
+        postprocess(jnp.zeros((1, 8, 4)), jnp.zeros((1, 8)), priors, cfg)

@@ -169,3 +169,25 @@ def test_multi_batch_size_export_dispatch(export_dir, tmp_path):
     # empty batch still served from shape inference only
     empty = multi(np.zeros((0, 75, 75, 3), np.float32))
     assert empty["boxes"].shape == (0, 5, 4)
+
+
+def test_reexport_removes_stale_batch_siblings(export_dir, tmp_path):
+    """A second export into the same directory must not leave an older
+    checkpoint's detect_b* sibling behind (the loader would silently
+    serve stale weights for that batch size)."""
+    from multibox_tpu.cli.export import main
+    from multibox_tpu.serving import load_exported
+    import os
+
+    src = os.path.dirname(export_dir)
+    out_dir = str(tmp_path / "re_export")
+    args = ["--checkpoint_path", os.path.join(src, "ckpt"),
+            "--priors", os.path.join(src, "priors.pkl"),
+            "--output_dir", out_dir, "--config", os.path.join(src, "cfg.yaml")]
+    assert main(args + ["--batch_sizes", "1", "4"]) == 0
+    assert os.path.exists(os.path.join(out_dir, "detect_b4.stablehlo.bin"))
+    assert main(args + ["--batch_sizes", "2"]) == 0
+    # b4 sibling gone; only the fresh single-size export remains.
+    assert not os.path.exists(os.path.join(out_dir, "detect_b4.stablehlo.bin"))
+    det = load_exported(out_dir)
+    assert sorted(det.calls) == [2]
