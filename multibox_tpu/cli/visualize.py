@@ -38,9 +38,25 @@ def main(argv=None) -> int:
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--score_threshold", type=float, default=0.3)
     parser.add_argument("--max_images", type=int, default=16)
+    parser.add_argument("--class_names", default=None,
+                        help="JSON mapping MODEL class ids (what detections "
+                             "carry, 0-based after label_offset) to display "
+                             "names: {\"0\": \"cat\", ...} or a list indexed "
+                             "by class id")
     add_config_arg(parser)
     args = parser.parse_args(argv)
     setup_logging()
+
+    names = {}
+    if args.class_names:
+        import json
+
+        with open(args.class_names) as f:
+            raw = json.load(f)
+        if isinstance(raw, list):
+            names = {i: str(n) for i, n in enumerate(raw)}
+        else:
+            names = {int(k): str(v) for k, v in raw.items()}
 
     cfg = load_config(args)
     priors = priors_mod.load_priors(args.priors)
@@ -69,7 +85,10 @@ def main(argv=None) -> int:
         draw_boxes(ax, ex["boxes"], "lime")
         draw_boxes(
             ax, det["boxes"], "red",
-            labels=[f"{s:.2f}" for s in det["scores"]],
+            labels=[
+                (f"{names[int(c)]} {s:.2f}" if int(c) in names else f"{s:.2f}")
+                for s, c in zip(det["scores"], det["classes"])
+            ],
         )
         ax.set_xlim(0, 1)
         ax.set_ylim(1, 0)

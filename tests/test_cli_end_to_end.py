@@ -656,3 +656,22 @@ def test_22_dataset_coco_remap_and_size_check(tmp_path):
             "--image_root", str(img_dir),
             "--output_prefix", str(tmp_path / "out2" / "t"),
         ])
+
+
+def test_23_visualize_cli_class_names(workdir, priors_file, trained_logdir,
+                                      tmp_path):
+    """--class_names labels predictions with display names."""
+    from multibox_tpu.cli.visualize import main
+
+    names = str(tmp_path / "names.json")
+    json.dump({"0": "widget"}, open(names, "w"))
+    out_dir = str(tmp_path / "viz_named")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", priors_file,
+        "--checkpoint_path", trained_logdir,
+        "--output_dir", out_dir, "--config", workdir["config"],
+        "--score_threshold", "0.0", "--max_images", "2",
+        "--class_names", names,
+    ]) == 0
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".png")]) == 2
