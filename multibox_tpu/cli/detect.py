@@ -47,8 +47,23 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path,
             canvas_size=cfg.input_size,
             max_num_bboxes=cfg.max_num_bboxes,
         )
+    variables = state.detect_variables()
+    if cfg.quantize != "none":
+        # Bake EMA+BN+int8 into the variables, calibrating activation
+        # scales on this run's own first batches (the dataset re-iterates
+        # from the start for the real pass below).
+        from multibox_tpu.quantize import (
+            calib_batches_from_dataset,
+            prepare_quantized_variables,
+        )
+
+        variables = prepare_quantized_variables(
+            cfg,
+            variables,
+            calib_batches_from_dataset(dataset, cfg.quant_calib_batches),
+        )
     results = run_detect_loop(
-        cfg, state.detect_variables(), dataset, priors,
+        cfg, variables, dataset, priors,
         score_threshold=score_threshold,
     )
     ckpt.close()

@@ -151,6 +151,14 @@ class Config:
     # grid is top-k-pruned to this many candidates before NMS so the NMS
     # cost stays independent of num_classes (static shapes).
     detect_candidates: int = 1024
+    # Post-training quantization of the detect path: "none" | "int8".
+    # int8 folds BN, quantizes the 94 backbone convs to symmetric int8
+    # (per-channel weights, calibrated per-tensor activations) and runs
+    # them as int8×int8→int32 MXU convs — see multibox_tpu/quantize.py.
+    # Heads stay f32. Detect/eval CLIs calibrate on the first
+    # quant_calib_batches batches of their input.
+    quantize: str = "none"
+    quant_calib_batches: int = 4
 
     # --- parallel ---
     data_axis: str = "data"

@@ -27,14 +27,22 @@ from multibox_tpu.ops.nms import batched_nms, batched_soft_nms
 from multibox_tpu.ops.pallas import resolve_use_pallas
 
 
-def build_model(cfg: Config, num_priors: int, folded: bool = False) -> MultiBoxDetector:
+def build_model(
+    cfg: Config,
+    num_priors: int,
+    folded: bool = False,
+    quantize: str = None,
+) -> MultiBoxDetector:
     """Construct the detector module from a config (single source of truth
     for model hyperparameters across train / detect / export).
 
     ``folded=True`` builds the inference-only BN-folded variant (use with
-    params from ``models.inception_v3.fold_batch_norms``)."""
+    params from ``models.inception_v3.fold_batch_norms``); ``quantize``
+    ("int8" | "calib") builds the int8 PTQ variant on top of it (use with
+    variables from ``multibox_tpu.quantize.prepare_quantized_variables``)."""
     return MultiBoxDetector(
         folded=folded,
+        quantize=quantize,
         use_pallas=cfg.use_pallas,
         num_priors=num_priors,
         backbone=cfg.backbone,
@@ -175,6 +183,29 @@ def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
     (8.5 vs 8.2 ms) — see BASELINE.md "Pallas vs XLA decision matrix".
     The Pallas wins live in postprocess (batch-native NMS) and matching.
     """
+    if cfg.quantize not in ("none", "int8"):
+        # A typo'd mode silently measuring the f32 arm would poison any
+        # quantization A/B — fail loudly (same rationale as nms_mode).
+        raise ValueError(
+            f"unknown quantize mode: {cfg.quantize!r} (expected 'none' or 'int8')"
+        )
+    if cfg.quantize == "int8":
+        # Int8 PTQ path: EMA selection + BN folding + weight quantization
+        # are already baked into the prepared variables
+        # (quantize.prepare_quantized_variables) — apply them directly.
+        model = build_model(cfg, priors.shape[0], folded=True, quantize="int8")
+        priors_q = jnp.asarray(priors, jnp.float32)
+
+        def detect_q(variables, images):
+            locations, confidences = model.apply(
+                {"params": variables["params"], "quant": variables["quant"]},
+                images,
+                train=False,
+            )
+            return postprocess(locations, confidences, priors_q, cfg)
+
+        return detect_q
+
     model = build_model(cfg, priors.shape[0])
     priors = jnp.asarray(priors, jnp.float32)
     if use_ema is None:

@@ -43,18 +43,25 @@ class MultiBoxDetector(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False  # inference-only BN-folded backbone
     use_pallas: Optional[bool] = None  # Pallas fused blocks (None = auto/TPU)
+    quantize: Optional[str] = None  # int8 PTQ backbone: "int8" | "calib"
     bottleneck_features: int = 96
     ssd_endpoints: tuple = ("Mixed_5d", "Mixed_6e", "Mixed_7c")
     ssd_priors_per_cell: int = 6
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
+        if self.quantize and self.backbone != "inception_v3":
+            raise ValueError(
+                "int8 quantization currently supports the inception_v3 "
+                f"backbone only (got {self.backbone!r})"
+            )
         if self.backbone == "inception_v3":
             endpoints = InceptionV3(
                 compute_dtype=self.compute_dtype,
                 bn_momentum=self.bn_momentum,
                 folded=self.folded,
                 use_pallas=self.use_pallas,
+                quantize=self.quantize,
                 name="InceptionV3",
             )(images, train=train)
             final_endpoint = "Mixed_7c"

@@ -68,9 +68,27 @@ class ConvBN(nn.Module):
     # (Conv gains a bias, no BatchNorm op) — see fold_batch_norms.
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.quantize:
+            # Int8 PTQ path (requires folded=True: BN is already baked
+            # into the conv weights that were quantized). See models.quant.
+            if not self.folded:
+                raise ValueError("quantize requires the folded model variant")
+            from multibox_tpu.models.quant import QuantConv
+
+            y = QuantConv(
+                self.features,
+                tuple(self.kernel),
+                strides=tuple(self.strides),
+                padding=self.padding,
+                calibrate=self.quantize == "calib",
+                compute_dtype=self.compute_dtype,
+                name="Conv",
+            )(x)
+            return nn.relu(y)
         if (
             self.folded
             and tuple(self.kernel) == (1, 1)
@@ -85,7 +103,7 @@ class ConvBN(nn.Module):
                 self.features,
                 use_bias=True,
                 relu=True,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, quantize=self.quantize,
                 dtype=self.compute_dtype,
                 name="Conv",
             )(x)
@@ -129,19 +147,20 @@ class InceptionA(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
-        b0 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_0/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(48, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(64, (5, 5), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0b_5x5")(b1, train)
-        b2 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0a_1x1")(x, train)
-        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0b_3x3")(b2, train)
-        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0c_3x3")(b2, train)
+        b0 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(48, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(64, (5, 5), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0b_5x5")(b1, train)
+        b2 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0b_3x3")(b2, train)
+        b2 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0c_3x3")(b2, train)
         b3 = _avg_pool_3x3_same(x)
         b3 = ConvBN(
-            self.pool_features, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_3/Conv2d_0b_1x1"
+            self.pool_features, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_3/Conv2d_0b_1x1"
         )(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -153,19 +172,20 @@ class ReductionA(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
         b0 = ConvBN(
             384, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_0/Conv2d_1a_1x1",
+            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_0/Conv2d_1a_1x1",
         )(x, train)
-        b1 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0b_3x3")(b1, train)
+        b1 = ConvBN(64, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(96, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0b_3x3")(b1, train)
         b1 = ConvBN(
             96, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_1a_1x1",
+            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_1a_1x1",
         )(b1, train)
         b2 = _max_pool(x, 3, 2)
         return jnp.concatenate([b0, b1, b2], axis=-1)
@@ -179,22 +199,23 @@ class InceptionB(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
         c7 = self.channels_7x7
-        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_0/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0b_1x7")(b1, train)
-        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0c_7x1")(b1, train)
-        b2 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0a_1x1")(x, train)
-        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0b_7x1")(b2, train)
-        b2 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0c_1x7")(b2, train)
-        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0d_7x1")(b2, train)
-        b2 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0e_1x7")(b2, train)
+        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0c_7x1")(b1, train)
+        b2 = ConvBN(c7, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0b_7x1")(b2, train)
+        b2 = ConvBN(c7, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0c_1x7")(b2, train)
+        b2 = ConvBN(c7, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0d_7x1")(b2, train)
+        b2 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0e_1x7")(b2, train)
         b3 = _avg_pool_3x3_same(x)
-        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_3/Conv2d_0b_1x1")(b3, train)
+        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_3/Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -205,21 +226,22 @@ class ReductionB(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
-        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b0 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_0/Conv2d_0a_1x1")(x, train)
         b0 = ConvBN(
             320, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_0/Conv2d_1a_3x3",
+            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_0/Conv2d_1a_3x3",
         )(b0, train)
-        b1 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0b_1x7")(b1, train)
-        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0c_7x1")(b1, train)
+        b1 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(192, (1, 7), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(192, (7, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0c_7x1")(b1, train)
         b1 = ConvBN(
             192, (3, 3), strides=(2, 2), padding="VALID", compute_dtype=dt,
-            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_1a_3x3",
+            bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_1a_3x3",
         )(b1, train)
         b2 = _max_pool(x, 3, 2)
         return jnp.concatenate([b0, b1, b2], axis=-1)
@@ -232,25 +254,26 @@ class InceptionC(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
-        b0 = ConvBN(320, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_0/Conv2d_0a_1x1")(x, train)
+        b0 = ConvBN(320, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_0/Conv2d_0a_1x1")(x, train)
 
-        b1 = ConvBN(384, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0a_1x1")(x, train)
-        b1a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0b_1x3")(b1, train)
-        b1b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_1/Conv2d_0b_3x1")(b1, train)
+        b1 = ConvBN(384, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0a_1x1")(x, train)
+        b1a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0b_1x3")(b1, train)
+        b1b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_1/Conv2d_0b_3x1")(b1, train)
         b1 = jnp.concatenate([b1a, b1b], axis=-1)
 
-        b2 = ConvBN(448, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0a_1x1")(x, train)
-        b2 = ConvBN(384, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0b_3x3")(b2, train)
-        b2a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0c_1x3")(b2, train)
-        b2b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_2/Conv2d_0d_3x1")(b2, train)
+        b2 = ConvBN(448, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(384, (3, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0b_3x3")(b2, train)
+        b2a = ConvBN(384, (1, 3), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0c_1x3")(b2, train)
+        b2b = ConvBN(384, (3, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_2/Conv2d_0d_3x1")(b2, train)
         b2 = jnp.concatenate([b2a, b2b], axis=-1)
 
         b3 = _avg_pool_3x3_same(x)
-        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, name="Branch_3/Conv2d_0b_1x1")(b3, train)
+        b3 = ConvBN(192, (1, 1), compute_dtype=dt, bn_momentum=self.bn_momentum, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Branch_3/Conv2d_0b_1x1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -268,6 +291,7 @@ class InceptionV3(nn.Module):
     bn_momentum: float = 0.9997
     folded: bool = False
     use_pallas: Optional[bool] = None  # Pallas fused 1x1 conv blocks (folded)
+    quantize: Optional[str] = None  # int8 PTQ (folded): "int8" | "calib"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -280,15 +304,15 @@ class InceptionV3(nn.Module):
             return name == self.final_endpoint
 
         # Stem: 299×299×3 → 35×35×192
-        x = ConvBN(32, (3, 3), (2, 2), "VALID", dt, bn, self.folded, self.use_pallas, name="Conv2d_1a_3x3")(x, train)
+        x = ConvBN(32, (3, 3), (2, 2), "VALID", dt, bn, self.folded, self.use_pallas, self.quantize, name="Conv2d_1a_3x3")(x, train)
         eps["Conv2d_1a_3x3"] = x
         if done("Conv2d_1a_3x3"):
             return eps
-        x = ConvBN(32, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name="Conv2d_2a_3x3")(x, train)
+        x = ConvBN(32, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Conv2d_2a_3x3")(x, train)
         eps["Conv2d_2a_3x3"] = x
         if done("Conv2d_2a_3x3"):
             return eps
-        x = ConvBN(64, (3, 3), compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name="Conv2d_2b_3x3")(x, train)
+        x = ConvBN(64, (3, 3), compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Conv2d_2b_3x3")(x, train)
         eps["Conv2d_2b_3x3"] = x
         if done("Conv2d_2b_3x3"):
             return eps
@@ -296,11 +320,11 @@ class InceptionV3(nn.Module):
         eps["MaxPool_3a_3x3"] = x
         if done("MaxPool_3a_3x3"):
             return eps
-        x = ConvBN(80, (1, 1), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name="Conv2d_3b_1x1")(x, train)
+        x = ConvBN(80, (1, 1), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Conv2d_3b_1x1")(x, train)
         eps["Conv2d_3b_1x1"] = x
         if done("Conv2d_3b_1x1"):
             return eps
-        x = ConvBN(192, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name="Conv2d_4a_3x3")(x, train)
+        x = ConvBN(192, (3, 3), padding="VALID", compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Conv2d_4a_3x3")(x, train)
         eps["Conv2d_4a_3x3"] = x
         if done("Conv2d_4a_3x3"):
             return eps
@@ -315,12 +339,12 @@ class InceptionV3(nn.Module):
             ("Mixed_5c", 64),
             ("Mixed_5d", 64),
         ):
-            x = InceptionA(pool_features, compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name=name)(x, train)
+            x = InceptionA(pool_features, compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name=name)(x, train)
             eps[name] = x
             if done(name):
                 return eps
 
-        x = ReductionA(compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name="Mixed_6a")(x, train)
+        x = ReductionA(compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Mixed_6a")(x, train)
         eps["Mixed_6a"] = x
         if done("Mixed_6a"):
             return eps
@@ -332,19 +356,19 @@ class InceptionV3(nn.Module):
             ("Mixed_6d", 160),
             ("Mixed_6e", 192),
         ):
-            x = InceptionB(c7, compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name=name)(x, train)
+            x = InceptionB(c7, compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name=name)(x, train)
             eps[name] = x
             if done(name):
                 return eps
 
-        x = ReductionB(compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name="Mixed_7a")(x, train)
+        x = ReductionB(compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name="Mixed_7a")(x, train)
         eps["Mixed_7a"] = x
         if done("Mixed_7a"):
             return eps
 
         # 8×8 blocks
         for name in ("Mixed_7b", "Mixed_7c"):
-            x = InceptionC(compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, name=name)(x, train)
+            x = InceptionC(compute_dtype=dt, bn_momentum=bn, folded=self.folded, use_pallas=self.use_pallas, quantize=self.quantize, name=name)(x, train)
             eps[name] = x
             if done(name):
                 return eps

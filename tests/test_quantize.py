@@ -1,0 +1,176 @@
+"""Int8 PTQ path: weight quantization bounds, calibration semantics, and
+f32-vs-int8 detect agreement (models/quant.py, quantize.py).
+
+No reference analogue (the TF-1.x reference had no int8 path; SURVEY.md
+§2.2 covers the conv substrate this extends) — the contract pinned here is
+the framework's own: prepared int8 variables must run the same detect
+program shape-for-shape and agree closely with the folded f32 model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multibox_tpu.config import Config
+from multibox_tpu.data.augment import preprocess_eval
+from multibox_tpu.inference import build_model, make_detect_body
+from multibox_tpu.models.quant import quantize_conv_params, quantize_variables
+from multibox_tpu.quantize import (
+    calib_batches_from_dataset,
+    prepare_quantized_variables,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        num_priors=16,
+        input_size=75,
+        compute_dtype="float32",
+        max_detections=10,
+        batch_size=2,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_quantize_conv_params_roundtrip(rng):
+    w = rng.normal(0, 0.3, (3, 3, 8, 16)).astype(np.float32)
+    w[..., 3] *= 10.0  # one hot channel must not wreck the others' scale
+    kq, ws = quantize_conv_params(w)
+    assert kq.dtype == np.int8 and ws.shape == (16,)
+    err = np.abs(w - kq.astype(np.float32) * ws)
+    # symmetric rounding error bound: half a quantization step per channel
+    assert np.all(err <= ws[None, None, None, :] * 0.5 + 1e-7)
+    # per-channel scales: the hot channel's scale is ~10x the others'
+    assert ws[3] > 5 * np.median(ws)
+
+
+@pytest.fixture(scope="module")
+def quant_setup():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    priors = np.sort(
+        rng.uniform(0, 1, (16, 2, 2)).astype(np.float32), axis=1
+    ).reshape(16, 4)
+    model = build_model(cfg, 16)
+    images = jnp.zeros((2, 75, 75, 3), jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0), images))
+    calib = [
+        rng.integers(0, 255, (2, 75, 75, 3)).astype(np.uint8)
+        for _ in range(2)
+    ]
+    return cfg, priors, variables, calib
+
+
+def test_prepare_and_detect_agree_with_f32(quant_setup):
+    cfg, priors, variables, calib = quant_setup
+    vq = prepare_quantized_variables(
+        _cfg(quantize="int8"), variables, calib
+    )
+    # every one of the 94 conv units calibrated a positive scale
+    import flax
+
+    scales = flax.traverse_util.flatten_dict(vq["quant"])
+    assert len(scales) == 94
+    assert all(float(v) > 0 for v in scales.values())
+
+    body_q = make_detect_body(_cfg(quantize="int8"), jnp.asarray(priors))
+    body_f = make_detect_body(cfg, jnp.asarray(priors), use_ema=False)
+    imgs = preprocess_eval(jnp.asarray(calib[0]), 75)
+    det_q = jax.jit(body_q)(vq, imgs)
+    det_f = jax.jit(body_f)(variables, imgs)
+    # same static output contract
+    assert {k: v.shape for k, v in det_q.items()} == {
+        k: v.shape for k, v in det_f.items()
+    }
+    # int8 tracks f32 on the sorted score lists (with a random-init model
+    # the scores are near-tied, so NMS may pick different-but-equivalent
+    # boxes — raw loc/conf agreement is asserted below instead).
+    np.testing.assert_allclose(
+        np.asarray(det_q["scores"]), np.asarray(det_f["scores"]), atol=2e-3
+    )
+
+    # raw model outputs: quantized backbone tracks the folded f32 one
+    model_q = build_model(_cfg(), 16, folded=True, quantize="int8")
+    model_f = build_model(cfg, 16)
+    loc_q, conf_q = model_q.apply(
+        {"params": vq["params"], "quant": vq["quant"]}, imgs, train=False
+    )
+    loc_f, conf_f = model_f.apply(
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        },
+        imgs,
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loc_q), np.asarray(loc_f), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf_q), np.asarray(conf_f), atol=5e-2
+    )
+
+
+def test_calibration_is_running_max(quant_setup):
+    cfg, priors, variables, calib = quant_setup
+    import flax
+
+    qcfg = _cfg(quantize="int8")
+    v1 = prepare_quantized_variables(qcfg, variables, calib)
+    v2 = prepare_quantized_variables(qcfg, variables, calib + calib)
+    s1 = flax.traverse_util.flatten_dict(v1["quant"])
+    s2 = flax.traverse_util.flatten_dict(v2["quant"])
+    # same data twice -> identical running-max scales (order-invariant)
+    for k in s1:
+        assert float(s1[k]) == float(s2[k])
+
+
+def test_quantize_validation(quant_setup):
+    cfg, priors, variables, calib = quant_setup
+    with pytest.raises(ValueError, match="quantize"):
+        make_detect_body(_cfg(quantize="int4"), jnp.asarray(priors))
+    with pytest.raises(ValueError, match="inception_v3"):
+        m = build_model(
+            _cfg(backbone="mobilenet_v2"), 16, folded=True, quantize="int8"
+        )
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+    with pytest.raises(ValueError, match="calib"):
+        prepare_quantized_variables(_cfg(quantize="int8"), variables, [])
+    with pytest.raises(ValueError, match="folded"):
+        m = build_model(_cfg(), 16, folded=False, quantize="int8")
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+
+
+def test_calib_batches_from_dataset():
+    ds = [{"images": np.full((2, 4, 4, 3), i, np.uint8)} for i in range(5)]
+    out = calib_batches_from_dataset(ds, 3)
+    assert len(out) == 3 and out[1][0, 0, 0, 0] == 1
+
+
+def test_quantize_variables_passthrough(quant_setup):
+    """Head params and conv biases survive the transform untouched."""
+    cfg, priors, variables, calib = quant_setup
+    import flax
+
+    from multibox_tpu.models.inception_v3 import fold_batch_norms
+
+    folded = fold_batch_norms(
+        {
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"],
+        }
+    )
+    vq = quantize_variables(folded)
+    flat_in = flax.traverse_util.flatten_dict(folded["params"])
+    flat_out = flax.traverse_util.flatten_dict(vq["params"])
+    for key, val in flat_in.items():
+        if key[0] != "InceptionV3":
+            assert key in flat_out and flat_out[key] is val
+        elif key[-1] == "bias":
+            assert key in flat_out and flat_out[key] is val
+        else:
+            assert key[-1] == "kernel"
+            assert key[:-1] + ("kernel_q",) in flat_out
+            assert key[:-1] + ("w_scale",) in flat_out
