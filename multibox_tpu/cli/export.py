@@ -39,6 +39,14 @@ def main(argv=None) -> int:
     parser.add_argument("--fold_bn", action="store_true",
                         help="fold BatchNorm into conv weights (fewer ops "
                              "in the exported graph; ~1e-4 output delta)")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="export the int8 PTQ detect program (folds BN, "
+                             "per-channel int8 backbone convs; measured "
+                             "1.4x detect on v5e — BASELINE.md); requires "
+                             "--calib_tfrecords for activation calibration")
+    parser.add_argument("--calib_tfrecords", nargs="+", default=None,
+                        help="tfrecords supplying quant_calib_batches "
+                             "calibration batches for --quantize")
     add_config_arg(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -62,7 +70,39 @@ def main(argv=None) -> int:
         "params": state.ema_params if cfg.use_ema_for_detect else state.params,
         "batch_stats": state.batch_stats,
     }
-    if args.fold_bn:
+    if args.quantize:
+        # int8 PTQ export: EMA selection + BN folding + weight quantization
+        # + activation calibration baked into the exported program.
+        if args.fold_bn:
+            raise SystemExit(
+                "--quantize already folds BN; drop --fold_bn"
+            )
+        if not args.calib_tfrecords:
+            raise SystemExit(
+                "--quantize needs --calib_tfrecords (activation scales are "
+                "calibrated on real data)"
+            )
+        from multibox_tpu.cli.common import expand_tfrecords
+        from multibox_tpu.data.pipeline import DetectionDataset
+        from multibox_tpu.quantize import (
+            calib_batches_from_dataset,
+            prepare_quantized_variables,
+        )
+
+        cfg.quantize = args.quantize
+        calib_ds = DetectionDataset(
+            expand_tfrecords(args.calib_tfrecords),
+            batch_size=cfg.batch_size,
+            canvas_size=cfg.input_size,
+            max_num_bboxes=cfg.max_num_bboxes,
+        )
+        variables = prepare_quantized_variables(
+            cfg,
+            dict(variables, ema=state.ema_params),
+            calib_batches_from_dataset(calib_ds, cfg.quant_calib_batches),
+        )
+        model = build_model(cfg, priors.shape[0], folded=True, quantize="int8")
+    elif args.fold_bn:
         if cfg.backbone != "inception_v3":
             raise SystemExit(
                 "--fold_bn currently supports only the inception_v3 backbone"

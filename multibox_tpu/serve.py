@@ -1,0 +1,255 @@
+"""HTTP serving daemon around an exported detector (``multibox-serve``).
+
+The reference had no serving story at all — its export (ref:export.py,
+SURVEY.md §2 C13) produced a frozen GraphDef that downstream apps embedded.
+This module is the production-deployment face of the same artifact: a
+small, dependency-free (stdlib ``http.server``) daemon that loads a
+``multibox-export`` directory and serves detections over HTTP, with
+device-friendly micro-batching.
+
+Design for the TPU serving path:
+
+* **Micro-batching**: concurrent requests are coalesced by a single device
+  worker thread — up to the largest exported batch size, waiting at most
+  ``--batch_window_ms`` for stragglers. One device dispatch per group (the
+  device link charges per EXECUTION, not per image — BASELINE.md), and
+  ``ExportedDetector.__call__``'s multi-size dispatch pads only the tail.
+* **One device owner**: all jax calls happen on the worker thread; HTTP
+  handler threads only decode JPEG bytes and wait on their slot's event.
+
+Endpoints:
+  GET  /healthz            → {"status": "ok", "batch_sizes": [...], ...}
+  GET  /stats              → request/batch counters (batching observability)
+  POST /detect             → body = one JPEG/PNG image; query params:
+                             ``threshold`` (default cfg's), ``top`` (max
+                             boxes returned)
+  POST /detect_batch       → JSON {"images": [<base64>, ...]}
+Responses are JSON with normalized [ymin, xmin, ymax, xmax] boxes.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class _Pending:
+    """One image awaiting the batcher: filled by the worker, waited on by
+    the handler thread."""
+
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, np.ndarray]] = None
+        self.error: Optional[BaseException] = None
+
+
+class DetectorService:
+    """Micro-batching wrapper: many callers, one device worker."""
+
+    def __init__(self, detector, max_batch: int = None,
+                 batch_window_ms: float = 5.0):
+        self.detector = detector
+        sizes = sorted(detector.calls) or [detector.batch_size]
+        self.max_batch = max_batch or max(sizes)
+        self.batch_window_s = batch_window_ms / 1e3
+        self.input_size = detector.input_size
+        self._q: queue.Queue = queue.Queue()
+        self.stats = {"requests": 0, "device_batches": 0, "images": 0}
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    def submit_async(self, image: np.ndarray) -> _Pending:
+        """Enqueue one preprocessed ``[S, S, 3]`` float32 image; the caller
+        waits on the returned pending's event (``wait``). Submitting a
+        whole request's images BEFORE waiting lets the batcher coalesce
+        them into one device call."""
+        p = _Pending(image)
+        self.stats["requests"] += 1
+        self._q.put(p)
+        return p
+
+    @staticmethod
+    def wait(p: _Pending, timeout: float = 60.0):
+        if not p.event.wait(timeout):
+            raise TimeoutError("detector worker did not respond")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def submit(self, image: np.ndarray, timeout: float = 60.0):
+        """Enqueue one image and block until its detections are ready."""
+        return self.wait(self.submit_async(image), timeout)
+
+    def _collect(self) -> List[_Pending]:
+        """Block for the first request, then soak up stragglers for the
+        batch window (or until the group fills)."""
+        first = self._q.get()
+        if first is None:
+            return []
+        group = [first]
+        deadline = time.monotonic() + self.batch_window_s
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            group.append(item)
+        return group
+
+    def _run(self):
+        while not self._closed:
+            group = self._collect()
+            if not group:
+                continue
+            try:
+                batch = np.stack([p.image for p in group])
+                out = self.detector(batch)  # multi-size dispatch + padding
+                self.stats["device_batches"] += 1
+                self.stats["images"] += len(group)
+                for i, p in enumerate(group):
+                    p.result = {k: np.asarray(v[i]) for k, v in out.items()}
+            except BaseException as e:  # surfaced to every waiting caller
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+
+def _decode_request_image(data: bytes, input_size: int) -> np.ndarray:
+    """Image bytes → ``[S, S, 3]`` float32 in [-1, 1] (slim scaling), the
+    exported program's input contract."""
+    from multibox_tpu.data import jpeg as jpeg_mod
+
+    img = jpeg_mod.decode_jpeg(data, canvas=input_size)
+    return (img.astype(np.float32) / 255.0 - 0.5) * 2.0
+
+
+def _detections_json(result: Dict[str, np.ndarray], threshold: float,
+                     top: int) -> Dict:
+    n = int(result["num"])
+    scores = np.asarray(result["scores"])[:n]
+    keep = scores >= threshold
+    boxes = np.asarray(result["boxes"])[:n][keep][:top]
+    scores = scores[keep][:top]
+    classes = np.asarray(result["classes"])[:n][keep][:top]
+    return {
+        "boxes": boxes.tolist(),
+        "scores": scores.tolist(),
+        "classes": classes.astype(int).tolist(),
+    }
+
+
+def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
+                max_batch: int = None, batch_window_ms: float = 5.0,
+                class_names: List[str] = None) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server — tests drive it in-process
+    via ``serve_forever`` on a thread."""
+    from multibox_tpu.serving import load_exported
+
+    detector = load_exported(export_dir)
+    service = DetectorService(
+        detector, max_batch=max_batch, batch_window_ms=batch_window_ms
+    )
+    default_threshold = float(
+        getattr(detector.config, "detect_score_threshold", 0.01)
+    )
+    sizes = sorted(detector.calls)
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; --verbose flips this in main()
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _params(self):
+            q = parse_qs(urlparse(self.path).query)
+            thr = float(q.get("threshold", [default_threshold])[0])
+            top = int(q.get("top", [100])[0])
+            return thr, top
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "batch_sizes": sizes,
+                    "input_size": service.input_size,
+                    "num_priors": int(detector.priors.shape[0]),
+                })
+            elif path == "/stats":
+                self._send(200, dict(service.stats))
+            else:
+                self._send(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                thr, top = self._params()
+                if path == "/detect":
+                    image = _decode_request_image(data, service.input_size)
+                    result = service.submit(image)
+                    payload = _detections_json(result, thr, top)
+                    if class_names:
+                        payload["class_names"] = [
+                            class_names[c] if 0 <= c < len(class_names)
+                            else str(c)
+                            for c in payload["classes"]
+                        ]
+                    self._send(200, payload)
+                elif path == "/detect_batch":
+                    req = json.loads(data)
+                    images = [
+                        _decode_request_image(
+                            base64.b64decode(b), service.input_size
+                        )
+                        for b in req["images"]
+                    ]
+                    # enqueue ALL, then wait: the batcher coalesces the
+                    # whole request into as few device calls as possible
+                    pendings = [service.submit_async(im) for im in images]
+                    results = [service.wait(p) for p in pendings]
+                    self._send(200, {
+                        "results": [
+                            _detections_json(r, thr, top) for r in results
+                        ]
+                    })
+                else:
+                    self._send(404, {"error": f"unknown path {path}"})
+            except Exception as e:  # a bad request must not kill the daemon
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.service = service  # tests reach the batcher through this
+    return server

@@ -149,6 +149,76 @@ def test_calib_batches_from_dataset():
     assert len(out) == 3 and out[1][0, 0, 0, 0] == 1
 
 
+def test_export_quantized(quant_setup, tmp_path):
+    """multibox-export --quantize int8: the exported StableHLO program
+    carries the calibrated int8 pipeline and runs via the serving loader."""
+    import yaml
+
+    from multibox_tpu.data.example_proto import build_detection_example
+    from multibox_tpu.data.jpeg import encode_jpeg
+    from multibox_tpu.data.tfrecord import TFRecordWriter
+    from multibox_tpu.priors import save_priors
+    from multibox_tpu.train.state import create_train_state
+    from multibox_tpu.utils.checkpoint import CheckpointManager
+
+    cfg, priors, variables, calib = quant_setup
+    rng = np.random.default_rng(1)
+    tf_path = str(tmp_path / "calib.tfrecord")
+    with TFRecordWriter(tf_path) as w:
+        for i in range(4):
+            img = rng.integers(0, 255, (75, 75, 3)).astype(np.uint8)
+            w.write(
+                build_detection_example(
+                    encode_jpeg(img), f"img-{i}",
+                    np.array([[0.1, 0.1, 0.5, 0.5]]), labels=[1],
+                )
+            )
+    model = build_model(cfg, 16)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 16)
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir, save_every=1)
+    mgr.save(1, state, force=True)
+    mgr.wait()
+    mgr.close()
+    priors_path = str(tmp_path / "priors.pkl")
+    save_priors(priors, priors_path)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"INPUT_SIZE": 75, "BATCH_SIZE": 2,
+                        "compute_dtype": "float32", "max_detections": 10,
+                        "quant_calib_batches": 2,
+                        "detect_score_threshold": 0.0}, f)
+
+    from multibox_tpu.cli.export import main
+
+    out_dir = str(tmp_path / "export")
+    # calibration data is mandatory
+    with pytest.raises(SystemExit, match="calib"):
+        main(["--checkpoint_path", ckpt_dir, "--priors", priors_path,
+              "--output_dir", out_dir, "--config", cfg_path,
+              "--quantize", "int8"])
+    assert main([
+        "--checkpoint_path", ckpt_dir, "--priors", priors_path,
+        "--output_dir", out_dir, "--config", cfg_path,
+        "--quantize", "int8", "--calib_tfrecords", tf_path,
+        "--batch_size", "2",
+    ]) == 0
+
+    from multibox_tpu.serving import load_exported
+
+    det = load_exported(out_dir)
+    imgs = (
+        rng.uniform(0, 255, (2, 75, 75, 3)).astype(np.float32) / 255.0 - 0.5
+    ) * 2.0
+    out = det(imgs)
+    assert out["boxes"].shape == (2, 10, 4)
+    assert np.all(np.isfinite(out["scores"]))
+    # int8 weights made it into the frozen params
+    saved = np.load(str(tmp_path / "export" / "params.npz"))
+    kq = [k for k in saved.files if k.endswith("kernel_q")]
+    assert len(kq) == 94 and saved[kq[0]].dtype == np.int8
+
+
 def test_quantize_variables_passthrough(quant_setup):
     """Head params and conv biases survive the transform untouched."""
     cfg, priors, variables, calib = quant_setup

@@ -1,0 +1,191 @@
+"""multibox-serve daemon: HTTP endpoints, micro-batching, error paths.
+
+Drives the real ThreadingHTTPServer in-process on a loopback port against
+a tiny exported detector (same fixture recipe as test_serving.py).
+"""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("served")
+    from multibox_tpu.config import Config
+    from multibox_tpu.inference import build_model
+    from multibox_tpu.priors import save_priors
+    from multibox_tpu.train.state import create_train_state
+    from multibox_tpu.utils.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(0)
+    priors = np.sort(
+        rng.uniform(0.05, 0.95, (8, 2, 2)).astype(np.float32), axis=1
+    ).reshape(8, 4)
+    cfg = Config(input_size=75, num_priors=8, compute_dtype="float32",
+                 max_detections=5, detect_score_threshold=0.0)
+    model = build_model(cfg, 8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), 8)
+    ckpt_dir = str(root / "ckpt")
+    mgr = CheckpointManager(ckpt_dir, save_every=1)
+    mgr.save(1, state, force=True)
+    mgr.wait()
+    mgr.close()
+    priors_path = str(root / "priors.pkl")
+    save_priors(priors, priors_path)
+    import yaml
+
+    cfg_path = str(root / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"INPUT_SIZE": 75, "NUM_PRIORS": 8,
+                        "compute_dtype": "float32", "max_detections": 5,
+                        "detect_score_threshold": 0.0}, f)
+
+    from multibox_tpu.cli.export import main
+
+    out_dir = str(root / "export")
+    assert main([
+        "--checkpoint_path", ckpt_dir, "--priors", priors_path,
+        "--output_dir", out_dir, "--config", cfg_path,
+        "--batch_sizes", "1", "4",
+    ]) == 0
+    return out_dir
+
+
+@pytest.fixture(scope="module")
+def server(export_dir):
+    from multibox_tpu.serve import make_server
+
+    srv = make_server(export_dir, port=0, batch_window_ms=40.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv, base
+    srv.shutdown()
+    srv.service.close()
+    srv.server_close()
+
+
+def _jpeg_bytes(seed=0, size=75):
+    from multibox_tpu.data.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    return encode_jpeg(rng.integers(0, 255, (size, size, 3)).astype(np.uint8))
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, data, headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    _, base = server
+    status, body = _get(base + "/healthz")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["batch_sizes"] == [1, 4]
+    assert body["input_size"] == 75
+
+
+def test_detect_single_image(server):
+    _, base = server
+    status, body = _post(base + "/detect?threshold=0.0", _jpeg_bytes())
+    assert status == 200
+    assert len(body["boxes"]) == len(body["scores"]) == len(body["classes"])
+    assert len(body["boxes"]) > 0
+    for box in body["boxes"]:
+        assert len(box) == 4 and all(0.0 <= v <= 1.0 for v in box)
+    # threshold filters
+    status, none = _post(base + "/detect?threshold=1.1", _jpeg_bytes())
+    assert status == 200 and none["boxes"] == []
+
+
+def test_detect_batch_coalesces(server):
+    srv, base = server
+    before = dict(srv.service.stats)
+    payload = json.dumps(
+        {"images": [base64.b64encode(_jpeg_bytes(i)).decode()
+                    for i in range(4)]}
+    ).encode()
+    status, body = _post(base + "/detect_batch?threshold=0.0", payload)
+    assert status == 200 and len(body["results"]) == 4
+    after = dict(srv.service.stats)
+    assert after["requests"] - before["requests"] == 4
+    # 4 images through a batch-4 export inside one 40ms window: ONE
+    # device batch, not four (this is the point of the micro-batcher)
+    assert after["device_batches"] - before["device_batches"] == 1
+
+
+def test_concurrent_requests_share_batches(server):
+    srv, base = server
+    before = dict(srv.service.stats)
+    results = [None] * 4
+
+    def one(i):
+        results[i] = _post(base + "/detect?threshold=0.0", _jpeg_bytes(i))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    after = dict(srv.service.stats)
+    assert after["requests"] - before["requests"] == 4
+    # 4 concurrent singles coalesce into at most 2 device batches
+    assert after["device_batches"] - before["device_batches"] <= 2
+    status, stats = _get(base + "/stats")
+    assert status == 200 and stats["images"] >= after["images"] - 1
+
+
+def test_bad_request_does_not_kill_daemon(server):
+    _, base = server
+    status, body = _post(base + "/detect", b"not an image")
+    assert status == 400 and "error" in body
+    status, body = _post(base + "/detect_batch", b"{bad json")
+    assert status == 400 and "error" in body
+    status, _ = _get(base + "/healthz")
+    assert status == 200
+
+
+def test_unknown_path_404(server):
+    _, base = server
+    status, body = _post(base + "/nope", b"")
+    assert status == 404
+
+
+def test_deterministic_vs_direct_call(server, export_dir):
+    """The daemon must return exactly what the exported detector returns."""
+    _, base = server
+    from multibox_tpu.data.jpeg import decode_jpeg
+    from multibox_tpu.serving import load_exported
+
+    data = _jpeg_bytes(7)
+    status, body = _post(base + "/detect?threshold=0.0", data)
+    assert status == 200
+
+    det = load_exported(export_dir)
+    img = decode_jpeg(data, canvas=75)
+    img = (img.astype(np.float32) / 255.0 - 0.5) * 2.0
+    out = det(img[None])
+    n = int(out["num"][0])
+    np.testing.assert_allclose(
+        np.asarray(body["scores"]),
+        np.asarray(out["scores"])[0, :n],
+        rtol=1e-6,
+    )
