@@ -157,6 +157,66 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
     return ips, p50, tflops, mfu
 
 
+def bench_tpu_detect_int8(batch=32, iters=20, priors_count=256):
+    """Secondary metric: the int8 PTQ detect path (cfg.quantize="int8" —
+    per-channel int8 weights, calibrated activations, MXU int8 convs).
+    Same chained slope harness as the headline; reported as extra JSON
+    fields, never as the headline (bf16 is the production default)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multibox_tpu.config import Config
+    from multibox_tpu.inference import build_model, make_detect_body
+    from multibox_tpu.quantize import prepare_quantized_variables
+
+    cfg = Config(num_priors=priors_count, max_detections=100)
+    qcfg = Config(
+        num_priors=priors_count, max_detections=100, quantize="int8"
+    )
+    rng = np.random.default_rng(0)
+    priors = jnp.asarray(
+        np.sort(
+            rng.uniform(0, 1, (priors_count, 2, 2)).astype(np.float32), axis=1
+        ).reshape(priors_count, 4)
+    )
+    model = build_model(cfg, priors_count)
+    images = jnp.asarray(
+        rng.uniform(-1, 1, (batch, 299, 299, 3)).astype(np.float32)
+    )
+    variables = dict(
+        jax.jit(lambda: model.init(jax.random.PRNGKey(0), images[:1]))()
+    )
+    calib = [rng.integers(0, 255, (8, 299, 299, 3)).astype(np.uint8)]
+    vq = prepare_quantized_variables(qcfg, variables, calib)
+    body = make_detect_body(qcfg, priors)
+
+    def chained(v, x, n):
+        def step(i, carry):
+            x, acc = carry
+            out = body(v, x)
+            s = out["scores"].sum()
+            return x + (s * 1e-20).astype(x.dtype), acc + s
+
+        _, acc = jax.lax.fori_loop(0, n, step, (x, jnp.float32(0)))
+        return acc
+
+    f = jax.jit(chained, static_argnums=2)
+    float(f(vq, images, iters))
+    float(f(vq, images, 3 * iters))
+
+    def run(k, n):
+        float(f(vq, images + np.float32(k + 1) * 1e-6, n))
+
+    per = _marginal_step_time(run, iters)
+    ips = batch / per
+    log(
+        f"TPU int8 detect (chained x{iters}): {per * 1e3:.2f}ms/batch "
+        f"-> {ips:.1f} img/s"
+    )
+    return ips, per * 1e3
+
+
 def bench_tpu_train(batch=32, iters=20, priors_count=256, canvas=343):
     """Full production train step (on-device aug + fwd + match + loss + bwd
     + opt + EMA) — chained: N steps in one device call with the state
@@ -318,6 +378,15 @@ def main():
     _probe_device(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600")))
     tpu_ips, p50, tflops, mfu = bench_tpu_detect(batch=batch)
     extras = {}
+    if os.environ.get("BENCH_SKIP_INT8", "0") != "1":
+        try:
+            q_ips, q_ms = bench_tpu_detect_int8(batch=batch)
+            extras.update(
+                detect_int8_img_per_sec=round(q_ips, 1),
+                detect_int8_step_ms=round(q_ms, 2),
+            )
+        except Exception as e:  # secondary metric must never sink the headline
+            log("int8 detect bench failed:", e)
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         try:
             t_ips, t_ms, t_tf, t_mfu = bench_tpu_train(batch=batch)

@@ -675,3 +675,36 @@ def test_23_visualize_cli_class_names(workdir, priors_file, trained_logdir,
         "--class_names", names,
     ]) == 0
     assert len([f for f in os.listdir(out_dir) if f.endswith(".png")]) == 2
+
+
+def test_24_detect_cli_int8_quantized(workdir, priors_file, trained_logdir,
+                                      detections_file, tmp_path):
+    """quantize: int8 through the real detect CLI: calibrates on the
+    input's own first batches and tracks the f32 detections."""
+    from multibox_tpu.cli.detect import main
+
+    base = yaml.safe_load(open(workdir["config"]))
+    base.update({"quantize": "int8", "quant_calib_batches": 2})
+    qcfg = str(tmp_path / "config_int8.yaml")
+    yaml.safe_dump(base, open(qcfg, "w"))
+
+    out = str(tmp_path / "detections_int8.pkl")
+    assert main([
+        "--tfrecords", workdir["tfrecord"],
+        "--priors", priors_file,
+        "--checkpoint_path", trained_logdir,
+        "--output", out, "--config", qcfg,
+    ]) == 0
+    results = pickle.load(open(out, "rb"))
+    f32 = {r["image_id"]: r for r in pickle.load(open(detections_file, "rb"))}
+    assert {r["image_id"] for r in results} == set(f32)
+    for r in results:
+        assert np.isfinite(r["scores"]).all()
+        assert (r["boxes"] >= 0).all() and (r["boxes"] <= 1).all()
+        # int8 top score tracks f32 (barely-trained fixture model: scores
+        # cluster near 0.5, so a loose tolerance is the honest assertion)
+        if len(r["scores"]) and len(f32[r["image_id"]]["scores"]):
+            assert abs(
+                float(r["scores"].max())
+                - float(f32[r["image_id"]]["scores"].max())
+            ) < 5e-2
