@@ -149,6 +149,45 @@ def test_calib_batches_from_dataset():
     assert len(out) == 3 and out[1][0, 0, 0, 0] == 1
 
 
+def test_quantized_ssd_head(rng):
+    """quantize=int8 under the SSD multi-scale head (the pinned multi-class
+    eval config): heads read three endpoints of the quantized backbone."""
+    cfg = _cfg(
+        head_type="ssd",
+        box_encoding="ssd",
+        num_classes=3,
+        ssd_endpoints=("Mixed_5d", "Mixed_6e", "Mixed_7c"),
+        ssd_priors_per_cell=3,
+        quantize="int8",
+    )
+    from multibox_tpu.priors import generate_priors_multiscale
+
+    # endpoint grids at 75px input: Mixed_5d 7x7, Mixed_6e 3x3, Mixed_7c 1x1
+    priors = np.asarray(
+        generate_priors_multiscale(
+            feature_map_sizes=[7, 3, 1], aspect_ratios=[1.0, 2.0]
+        )
+    )
+    cfg.num_priors = priors.shape[0]
+    fcfg = _cfg(
+        head_type="ssd",
+        box_encoding="ssd",
+        num_classes=3,
+        ssd_endpoints=("Mixed_5d", "Mixed_6e", "Mixed_7c"),
+        ssd_priors_per_cell=3,
+    )
+    model = build_model(fcfg, priors.shape[0])
+    imgs0 = jnp.zeros((2, 75, 75, 3), jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0), imgs0))
+    calib = [np.random.default_rng(0).integers(0, 255, (2, 75, 75, 3))
+             .astype(np.uint8)]
+    vq = prepare_quantized_variables(cfg, variables, calib)
+    body = make_detect_body(cfg, jnp.asarray(priors))
+    det = jax.jit(body)(vq, preprocess_eval(jnp.asarray(calib[0]), 75))
+    assert det["boxes"].shape == (2, 10, 4)
+    assert np.all(np.isfinite(np.asarray(det["scores"])))
+
+
 def test_export_quantized(quant_setup, tmp_path):
     """multibox-export --quantize int8: the exported StableHLO program
     carries the calibrated int8 pipeline and runs via the serving loader."""
