@@ -55,7 +55,7 @@ def main(argv=None) -> int:
     priors = priors_mod.load_priors(args.priors)
     cfg.num_priors = priors.shape[0]
 
-    from multibox_tpu.inference import build_model, postprocess
+    from multibox_tpu.inference import apply_and_postprocess, build_model
     from multibox_tpu.train.state import create_train_state
     from multibox_tpu.utils.checkpoint import CheckpointManager
 
@@ -115,8 +115,9 @@ def main(argv=None) -> int:
     priors_j = jnp.asarray(priors)
 
     def frozen_detect(images):
-        loc, conf = model.apply(variables, images, train=False)
-        return postprocess(loc, conf, priors_j, cfg)
+        # Shared with the live detect path — cfg.flip_tta and the
+        # postprocess semantics are honored identically in the export.
+        return apply_and_postprocess(model, variables, images, priors_j, cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)
     sizes = sorted(set(args.batch_sizes or [args.batch_size]))

@@ -151,6 +151,13 @@ class Config:
     # grid is top-k-pruned to this many candidates before NMS so the NMS
     # cost stays independent of num_classes (static shapes).
     detect_candidates: int = 1024
+    # Horizontal-flip test-time augmentation (classic detection-era TTA):
+    # the detect program runs the backbone on the image AND its mirror in
+    # ONE doubled batch (a single apply — MXU-friendly), mirrors the
+    # flipped pass's decoded boxes back, and feeds the union of candidates
+    # through one NMS pass. ~2× detect FLOPs for a measured quality bump
+    # (BASELINE.md "Flip TTA" A/B); off by default (reference semantics).
+    flip_tta: bool = False
     # Post-training quantization of the detect path: "none" | "int8".
     # int8 folds BN, quantizes the 94 backbone convs to symmetric int8
     # (per-channel weights, calibrated per-tensor activations) and runs

@@ -80,11 +80,27 @@ def postprocess(
     Returns dict with ``boxes [B, K, 4]``, ``scores [B, K]``,
     ``classes [B, K]`` (zeros when class-agnostic), ``num [B]``.
     """
-    if cfg.box_encoding == "multibox":
-        boxes = box_ops.decode_boxes(locations, priors[None], clip=True)
-    else:
-        boxes = box_ops.decode_boxes_ssd(locations, priors[None], clip=True)
+    return select_detections(
+        decode_candidates(locations, priors, cfg), confidences, cfg
+    )
 
+
+def decode_candidates(
+    locations: jnp.ndarray, priors: jnp.ndarray, cfg: Config
+) -> jnp.ndarray:
+    """Offsets ``[B, P, 4]`` → clipped candidate boxes ``[B, P, 4]`` under
+    the configured encoding."""
+    if cfg.box_encoding == "multibox":
+        return box_ops.decode_boxes(locations, priors[None], clip=True)
+    return box_ops.decode_boxes_ssd(locations, priors[None], clip=True)
+
+
+def select_detections(
+    boxes: jnp.ndarray, confidences: jnp.ndarray, cfg: Config
+) -> Dict[str, jnp.ndarray]:
+    """Score + NMS over already-decoded candidate boxes (the back half of
+    :func:`postprocess`; flip-TTA feeds it the union of both orientations'
+    candidates, so the candidate axis need not equal the prior count)."""
     if confidences.ndim == 2:
         scores = jax.nn.sigmoid(confidences)  # [B, P]
         class_ids = None
@@ -158,6 +174,31 @@ def postprocess(
     }
 
 
+def apply_and_postprocess(model, apply_vars, images, priors, cfg: Config):
+    """One forward pass + postprocess — the shared tail of every detect
+    program (live, int8, exported).
+
+    With ``cfg.flip_tta`` the batch doubles with horizontally-mirrored
+    images inside the SAME apply (one conv program at 2B — MXU-friendly,
+    not two dispatches), the mirrored pass's decoded boxes are flipped
+    back (``ops.boxes.flip_boxes_horizontal``), and the union of both
+    orientations' candidates goes through one NMS pass. ~2× detect FLOPs;
+    measured quality delta pinned in BASELINE.md.
+    """
+    if not cfg.flip_tta:
+        locations, confidences = model.apply(apply_vars, images, train=False)
+        return postprocess(locations, confidences, priors, cfg)
+    B = images.shape[0]
+    both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+    locations, confidences = model.apply(apply_vars, both, train=False)
+    boxes = decode_candidates(locations, priors, cfg)
+    boxes = jnp.concatenate(
+        [boxes[:B], box_ops.flip_boxes_horizontal(boxes[B:])], axis=1
+    )
+    confidences = jnp.concatenate([confidences[:B], confidences[B:]], axis=1)
+    return select_detections(boxes, confidences, cfg)
+
+
 def make_detect_fn(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
     """Build the jitted batched detect step.
 
@@ -197,12 +238,13 @@ def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
         priors_q = jnp.asarray(priors, jnp.float32)
 
         def detect_q(variables, images):
-            locations, confidences = model.apply(
+            return apply_and_postprocess(
+                model,
                 {"params": variables["params"], "quant": variables["quant"]},
                 images,
-                train=False,
+                priors_q,
+                cfg,
             )
-            return postprocess(locations, confidences, priors_q, cfg)
 
         return detect_q
 
@@ -218,8 +260,7 @@ def make_detect_body(cfg: Config, priors: jnp.ndarray, use_ema: bool = None):
         apply_vars = {"params": params}
         if "batch_stats" in variables:
             apply_vars["batch_stats"] = variables["batch_stats"]
-        locations, confidences = model.apply(apply_vars, images, train=False)
-        return postprocess(locations, confidences, priors, cfg)
+        return apply_and_postprocess(model, apply_vars, images, priors, cfg)
 
     return detect
 
