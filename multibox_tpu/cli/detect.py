@@ -41,17 +41,25 @@ def run_detection(cfg, tfrecords, priors, checkpoint_path,
     state = ckpt.restore(state)
 
     if dataset is None:
+        # Multi-host: shard records per process (run_detect_loop runs the
+        # local shard on local devices and all-gathers the results, so
+        # every host still returns — and writes — the full result set).
         dataset = DetectionDataset(
             tfrecords,
             batch_size=cfg.batch_size,
             canvas_size=cfg.input_size,
             max_num_bboxes=cfg.max_num_bboxes,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
     variables = state.detect_variables()
     if cfg.quantize != "none":
         # Bake EMA+BN+int8 into the variables, calibrating activation
         # scales on this run's own first batches (the dataset re-iterates
-        # from the start for the real pass below).
+        # from the start for the real pass below). Multi-host: each
+        # process calibrates on its own record shard — scales may differ
+        # slightly across hosts, but every image is still detected by
+        # exactly one calibrated program.
         from multibox_tpu.quantize import (
             calib_batches_from_dataset,
             prepare_quantized_variables,

@@ -321,7 +321,11 @@ def make_detect_loop_fns(cfg: Config, priors, use_ema: bool = None):
 
         fns["chunked"] = jax.jit(chunked)
 
-    devices = jax.devices()
+    # LOCAL devices only: detection has no cross-batch communication, so a
+    # global mesh buys nothing on multi-host and its outputs would span
+    # non-addressable devices. Each process runs its own local-device
+    # program over its record shard; run_detect_loop merges the results.
+    devices = jax.local_devices()
     if len(devices) > 1 and cfg.batch_size % len(devices) == 0:
         # Mesh-path program built HERE (not per run_detect_loop call) so
         # periodic in-training eval on a mesh reuses one traced function
@@ -356,7 +360,11 @@ def run_detect_loop(
     chunked ≤32 MB transfer + ONE scanned device call (the same pattern
     that bought the train loop 2.4× on this link), and the drain of group
     N's outputs overlaps group N+1's device work (1-deep pipeline). On a
-    multi-device mesh the batch is sharded on the data axis instead.
+    multi-device host the batch is sharded over the LOCAL devices. On a
+    multi-HOST mesh each process runs this loop over its record shard
+    (``dataset`` must be built with shard_index/shard_count = process
+    index/count; ``cfg.batch_size`` is per-host) and the result lists
+    all-gather at the end — every host returns the full global list.
 
     Returns a list of per-image dicts {image_id, boxes, scores, classes}
     with only valid, above-threshold slots (host numpy).
@@ -368,38 +376,44 @@ def run_detect_loop(
     if fns is None:
         fns = make_detect_loop_fns(cfg, priors, use_ema=use_ema)
     chunk = fns["chunk"]
-    devices = jax.devices()
+    devices = jax.local_devices()
     use_mesh = len(devices) > 1 and cfg.batch_size % len(devices) == 0
 
     if jax.process_count() > 1:
-        # Multi-HOST detect is not supported: the dataset here is not
-        # process-sharded (every host would feed the same images as if
-        # they were distinct slices) and drain() cannot np.asarray an
-        # output spanning non-addressable devices. Run detect/eval on one
-        # host, or shard the tfrecords across independent single-host
-        # invocations.
-        raise NotImplementedError(
-            "run_detect_loop on a multi-process mesh: evaluate on a "
-            "single host (multi-host is supported for TRAINING only)"
-        )
+        # Multi-HOST detect: each process runs THIS loop on its own local
+        # devices over its shard of the records (cfg.batch_size is the
+        # PER-HOST batch here), and the per-host result lists merge with
+        # one all-gather at the end — every host returns the full, global
+        # result list. The dataset must be process-sharded, or every host
+        # would detect the same images and the merge would duplicate them.
+        if getattr(dataset, "shard_count", 1) != jax.process_count():
+            raise ValueError(
+                "multi-host detect needs a process-sharded dataset: build "
+                "it with shard_index=jax.process_index(), "
+                f"shard_count=jax.process_count() (got shard_count="
+                f"{getattr(dataset, 'shard_count', 1)} with "
+                f"{jax.process_count()} processes)"
+            )
     if use_mesh and "pdetect" in fns:
         # The parallel program was traced ONCE in make_detect_loop_fns —
         # periodic in-training eval must not re-jit it per invocation
         # (fresh remote compiles on high-latency links). preprocess_eval
-        # runs inside the sharded program.
-        from multibox_tpu.parallel.mesh import replicated, shard_batch
+        # runs inside the sharded program. The mesh spans LOCAL devices
+        # only, so a plain device_put shards this host's batch (never
+        # put_host_local — that assembles a process-spanning global array,
+        # wrong for the per-host detect design above).
+        from multibox_tpu.parallel.mesh import batch_sharding, replicated
 
         mesh = fns["mesh"]
         pdetect = fns["pdetect"]
         variables = jax.device_put(variables, replicated(mesh))
+        batch_s = batch_sharding(mesh, cfg.data_axis)
 
         def dispatch(group):
             return [
                 pdetect(
                     variables,
-                    shard_batch(
-                        jnp.asarray(b["images"]), mesh, cfg.data_axis
-                    ),
+                    jax.device_put(np.asarray(b["images"]), batch_s),
                 )
                 for b in group
             ]
@@ -460,4 +474,13 @@ def run_detect_loop(
         inflight = (group, dets)
     if inflight is not None:
         drain(*inflight)
+    if jax.process_count() > 1:
+        # Merge the per-host shards: every host returns the full global
+        # result list (allgather semantics), so eval metrics and output
+        # files are identical everywhere.
+        from multibox_tpu.parallel.gather import process_allgather_objects
+
+        results = [
+            r for part in process_allgather_objects(results) for r in part
+        ]
     return results

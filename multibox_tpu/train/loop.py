@@ -111,11 +111,16 @@ def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
     from multibox_tpu.evaluate import evaluate_detections
     from multibox_tpu.inference import run_detect_loop
 
+    # Multi-host: each process evaluates its shard of the val records on
+    # its local devices; run_detect_loop all-gathers the detections, so the
+    # metrics computed here are global and identical on every host.
     dataset = DetectionDataset(
         eval_tfrecords,
         batch_size=cfg.batch_size,
         canvas_size=cfg.input_size,
         max_num_bboxes=cfg.max_num_bboxes,
+        shard_index=jax.process_index(),
+        shard_count=jax.process_count(),
     )
     if gt is None:
         gt = load_groundtruth(eval_tfrecords)
@@ -364,19 +369,6 @@ def train(
                     step_idx, batch["images"], batch["boxes"],
                     batch["num_boxes"],
                 )
-            if (
-                eval_tfrecords
-                and eval_every_steps
-                and jax.process_count() > 1
-            ):
-                # run_detect_loop refuses multi-process meshes (un-sharded
-                # eval inputs would double-count; outputs span
-                # non-addressable devices) — warn once and train on.
-                log.warning(
-                    "periodic eval skipped on a multi-process mesh; run "
-                    "multibox-eval on a single host instead"
-                )
-                eval_tfrecords = None
             if (
                 eval_tfrecords
                 and eval_every_steps
