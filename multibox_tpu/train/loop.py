@@ -86,13 +86,33 @@ def make_chunked_step(step_fn, num_steps: int):
     return chunk_step
 
 
+def eval_config(cfg: Config) -> Config:
+    """Per-host detect/eval config derived from the TRAINING config.
+
+    ``cfg.batch_size`` is the GLOBAL train batch (the train loop feeds
+    ``batch_size // process_count()`` per host), but ``run_detect_loop``
+    treats ``batch_size`` as PER-HOST. Evaluating with the global size on a
+    multi-host pod would run each host's eval program at process_count× the
+    per-host training batch (likely OOM at the first periodic eval). Scale
+    it down to the per-host share, kept divisible by the local device count
+    so the sharded detect program still partitions evenly."""
+    local = max(1, len(jax.local_devices()))
+    per_host = max(local, cfg.batch_size // jax.process_count())
+    per_host -= per_host % local
+    if per_host == cfg.batch_size:
+        return cfg
+    return dataclasses.replace(cfg, batch_size=per_host)
+
+
 def make_eval_fns(cfg: Config, priors):
     """Build the jitted detect-loop programs for periodic eval once; the
     train loop holds them so repeated evals reuse the same traced functions
-    instead of paying a fresh (remote) compile each time."""
+    instead of paying a fresh (remote) compile each time. ``cfg`` is the
+    TRAINING config; the per-host eval adjustment (``eval_config``) is
+    applied here so the traced shapes match ``evaluate_state``'s dataset."""
     from multibox_tpu.inference import make_detect_loop_fns
 
-    return make_detect_loop_fns(cfg, priors)
+    return make_detect_loop_fns(eval_config(cfg), priors)
 
 
 def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
@@ -104,13 +124,21 @@ def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
     and would silently shrink the AP/recall denominator on crowded images
     (and disagree with ``multibox-eval``, which also reads full gt).
     ``gt`` may be passed pre-loaded (the train loop caches it so periodic
-    evals don't re-read + re-parse the whole val set every time).
+    evals don't re-read + re-parse the whole val set every time) — either
+    the boxes dict alone or a ``(boxes, labels)`` tuple; with labels and
+    ``cfg.num_classes > 1`` the summary also carries the per-class
+    protocol (``mAP@0.5``, per-class APs — the multi-class metric that
+    exposed the round-2 plateau, which the class-agnostic AP@0.5 hid).
     """
     from multibox_tpu.cli.evaluate import load_groundtruth
     from multibox_tpu.data.pipeline import DetectionDataset
-    from multibox_tpu.evaluate import evaluate_detections
+    from multibox_tpu.evaluate import (
+        evaluate_detections,
+        evaluate_detections_per_class,
+    )
     from multibox_tpu.inference import run_detect_loop
 
+    cfg = eval_config(cfg)
     # Multi-host: each process evaluates its shard of the val records on
     # its local devices; run_detect_loop all-gathers the detections, so the
     # metrics computed here are global and identical on every host.
@@ -122,13 +150,28 @@ def evaluate_state(cfg: Config, state: TrainState, priors, eval_tfrecords,
         shard_index=jax.process_index(),
         shard_count=jax.process_count(),
     )
+    gt_labels = None
     if gt is None:
-        gt = load_groundtruth(eval_tfrecords)
+        if cfg.num_classes > 1:
+            gt, gt_labels = load_groundtruth(
+                eval_tfrecords, with_labels=True, label_offset=cfg.label_offset
+            )
+        else:
+            gt = load_groundtruth(eval_tfrecords)
+    elif isinstance(gt, tuple):
+        gt, gt_labels = gt
     results = run_detect_loop(
         cfg, state.detect_variables(), dataset, priors,
         fns=eval_fns or make_eval_fns(cfg, priors),
     )
-    return evaluate_detections(results, gt)
+    summary = evaluate_detections(results, gt)
+    if cfg.num_classes > 1 and gt_labels is not None:
+        per_class = evaluate_detections_per_class(results, gt, gt_labels)
+        # The agnostic COCO mAP above keeps its key; the per-class COCO
+        # average (cocoeval's actual protocol) gets its own.
+        per_class["mAP@[.5:.95]/per_class"] = per_class.pop("mAP@[.5:.95]")
+        summary.update(per_class)
+    return summary
 
 
 def train(
@@ -378,18 +421,33 @@ def train(
                     from multibox_tpu.cli.evaluate import load_groundtruth
 
                     eval_fns = make_eval_fns(cfg, priors)
-                    eval_gt = load_groundtruth(eval_tfrecords)
+                    if cfg.num_classes > 1:
+                        eval_gt = load_groundtruth(
+                            eval_tfrecords, with_labels=True,
+                            label_offset=cfg.label_offset,
+                        )
+                    else:
+                        eval_gt = load_groundtruth(eval_tfrecords)
                 metrics = evaluate_state(
                     cfg, state, priors, eval_tfrecords, eval_fns, gt=eval_gt
                 )
                 writer.write(
                     step_idx, {f"eval/{k}": v for k, v in metrics.items()}
                 )
-                log.info(
-                    "eval @%d: AP@0.5=%.3f mAP=%.3f recall=%.3f",
-                    step_idx, metrics["AP@0.5"], metrics["mAP@[.5:.95]"],
-                    metrics["recall@0.5"],
-                )
+                if "mAP@0.5" in metrics:
+                    log.info(
+                        "eval @%d: AP@0.5=%.3f mAP@0.5(per-class)=%.3f "
+                        "mAP=%.3f recall=%.3f",
+                        step_idx, metrics["AP@0.5"], metrics["mAP@0.5"],
+                        metrics["mAP@[.5:.95]/per_class"],
+                        metrics["recall@0.5"],
+                    )
+                else:
+                    log.info(
+                        "eval @%d: AP@0.5=%.3f mAP=%.3f recall=%.3f",
+                        step_idx, metrics["AP@0.5"], metrics["mAP@[.5:.95]"],
+                        metrics["recall@0.5"],
+                    )
             if chunk > 1:
                 # step_idx advances by K: orbax's modulo cadence would
                 # never fire, so save on save_every boundary crossings.

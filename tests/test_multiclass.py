@@ -351,3 +351,74 @@ def test_per_class_eval():
     assert m["AP@0.5/class_1"] == pytest.approx(1.0)
     assert m["AP@0.5/class_2"] == pytest.approx(0.0)
     assert m["mAP@0.5"] == pytest.approx(0.5)
+
+
+def test_eval_config_per_host_batch(monkeypatch):
+    """cfg.batch_size is the GLOBAL train batch; eval_config scales it to
+    the per-host share, kept divisible by the local device count (ADVICE
+    round-3 medium: periodic eval on a pod must not run at process_count x
+    the per-host batch)."""
+    import multibox_tpu.train.loop as loop_mod
+
+    cfg = Config(batch_size=32)
+    # Single process: unchanged (and the SAME object, no needless rebuild).
+    assert loop_mod.eval_config(cfg) is cfg
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    out = loop_mod.eval_config(cfg)
+    assert out.batch_size == 8  # 32 global / 4 hosts, divisible by 8? no ->
+    # 8 local devices on the fake mesh: 8 % 8 == 0, stays 8.
+    assert out.batch_size % len(jax.local_devices()) == 0
+
+    # Non-divisible per-host share rounds down to a device multiple but
+    # never below the device count.
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    out = loop_mod.eval_config(cfg)
+    assert out.batch_size == 8  # 32//3=10 -> rounded to 8 local devices
+
+
+def test_in_training_eval_emits_per_class_map(tmp_path, rng):
+    """Periodic in-training eval on a multi-class run must log the
+    per-class protocol (eval/mAP@0.5) alongside the class-agnostic AP —
+    the round-2 plateau hid behind a healthy class-agnostic AP@0.5
+    (VERDICT round-3 item #6)."""
+    import json
+    import os
+
+    from multibox_tpu.cli.train import main
+    from multibox_tpu.data.example_proto import build_detection_example
+    from multibox_tpu.data.tfrecord import TFRecordWriter
+    from multibox_tpu.priors import save_priors
+
+    path = str(tmp_path / "t.tfrecord")
+    canvas = 80
+    with TFRecordWriter(path) as w:
+        for i in range(4):
+            img = rng.integers(0, 255, (canvas, canvas, 3)).astype(np.uint8)
+            boxes = random_boxes(rng, 2)
+            w.write(build_detection_example(
+                b"", f"img{i}", boxes, labels=[1 + (i % 3), 1 + ((i + 1) % 3)],
+                raw_canvas=img,
+            ))
+    priors_path = str(tmp_path / "p.pkl")
+    save_priors(np.asarray(random_boxes(rng, 16), np.float32), priors_path)
+    cfg_path = str(tmp_path / "mc.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "INPUT_SIZE: 75\nBATCH_SIZE: 2\nMAX_NUM_BBOXES: 4\n"
+            "num_classes: 3\nlabel_offset: 1\n"
+            "steps_per_host_transfer: 1\n"
+        )
+    logdir = str(tmp_path / "logs")
+    assert main([
+        "--tfrecords", path, "--priors", priors_path,
+        "--logdir", logdir, "--config", cfg_path,
+        "--no_mesh", "--max_number_of_steps", "2",
+        "--eval_tfrecords", path, "--eval_every_steps", "2",
+    ]) == 0
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    eval_lines = [l for l in lines if "eval/mAP@0.5" in l]
+    assert eval_lines, "per-class mAP missing from in-training eval"
+    assert "eval/AP@0.5/class_0" in eval_lines[-1]
+    assert "eval/mAP@[.5:.95]/per_class" in eval_lines[-1]
+    assert np.isfinite(eval_lines[-1]["eval/mAP@0.5"])
