@@ -124,6 +124,13 @@ def main(argv=None) -> int:
         dataset=image_dataset,
     )
 
+    if jax.process_index() != 0:
+        # Multi-host: every process holds the full gathered result list,
+        # but only process 0 writes — N processes truncating + writing the
+        # same --output path on a shared filesystem (the common pod setup)
+        # can interleave and corrupt it even though the content matches.
+        return 0
+
     if args.output.endswith(".json"):
         payload = [
             {

@@ -483,4 +483,19 @@ def run_detect_loop(
         results = [
             r for part in process_allgather_objects(results) for r in part
         ]
+        # Coverage tripwire: two hosts mis-wired with the SAME shard_index
+        # (the guard above checks only shard_count) would detect one shard
+        # twice and silently drop another — eval metrics would be wrong
+        # with no symptom. Duplicate ids in the merged list catch that.
+        ids = [r["image_id"] for r in results]
+        if len(set(ids)) != len(ids):
+            from collections import Counter
+
+            dups = [k for k, n in Counter(ids).items() if n > 1]
+            raise RuntimeError(
+                f"multi-host gather merged duplicate image ids ({dups[:5]}"
+                f"{'...' if len(dups) > 5 else ''}) — check that every "
+                "process was built with a DISTINCT shard_index "
+                "(= jax.process_index())"
+            )
     return results

@@ -30,6 +30,13 @@ def process_allgather_objects(obj: Any) -> List[Any]:
     identical on every host (allgather semantics). Single-process: a
     passthrough ``[obj]`` with no collective, so callers need no
     process-count branches.
+
+    Failure mode (operator note, see docs/PRODUCTION.md): if one peer dies
+    BEFORE reaching this collective (e.g. a corrupt record raised in its
+    detect loop), the surviving hosts block inside ``process_allgather``
+    until the distributed-runtime barrier timeout with no local symptom —
+    a long eval that "hangs" near the end usually means one worker
+    crashed; check the failed worker's log first.
     """
     if jax.process_count() == 1:
         return [obj]

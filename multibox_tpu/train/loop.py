@@ -186,6 +186,7 @@ def train(
     eval_tfrecords: Optional[Sequence[str]] = None,
     eval_every_steps: int = 0,
     schedule_total: Optional[int] = None,
+    shuffle: bool = True,
 ) -> TrainState:
     """Run training; returns the final state. Resumes from logdir if a
     checkpoint exists (reference Supervisor behavior).
@@ -288,7 +289,9 @@ def train(
         batch_size=local_batch,
         canvas_size=canvas,
         max_num_bboxes=cfg.max_num_bboxes,
-        shuffle=True,
+        # shuffle=False exists for deterministic trajectory-parity tests
+        # (multi-host vs single-host) — production runs keep the default.
+        shuffle=shuffle,
         repeat=True,
         # Mix the resume step into the shuffle seed: a resumed run (or
         # each --restart_every_steps child) must NOT replay the stream
@@ -309,7 +312,10 @@ def train(
         shard_index=jax.process_index(),
         shard_count=jax.process_count(),
     )
-    writer = MetricsWriter(logdir)
+    # Multi-host: every process trains, but only process 0 writes metrics —
+    # N processes appending to one metrics.jsonl / events dir on a shared
+    # logdir would interleave identical (replicated) records.
+    writer = MetricsWriter(logdir, enabled=jax.process_index() == 0)
 
     def host_batches():
         for batch in dataset:

@@ -42,10 +42,19 @@ def burn_boxes(images: np.ndarray, boxes: np.ndarray, nums: np.ndarray) -> np.nd
 
 
 class MetricsWriter:
-    def __init__(self, logdir: str, also_tensorboard: bool = True):
+    def __init__(self, logdir: str, also_tensorboard: bool = True,
+                 enabled: bool = True):
+        """``enabled=False`` turns every method into a no-op (and opens no
+        files) — multi-host runs construct the writer on every process but
+        only process 0 may write, or N processes would interleave appends
+        into the same metrics.jsonl on a shared logdir."""
+        self._enabled = enabled
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
-        self._tb = None
         if also_tensorboard:
             try:
                 import tensorflow as tf
@@ -55,6 +64,8 @@ class MetricsWriter:
                 self._tb = None
 
     def write(self, step: int, scalars: Dict[str, float]) -> None:
+        if not self._enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -98,4 +109,5 @@ class MetricsWriter:
         self._tb.flush()
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()

@@ -58,26 +58,70 @@ def _draw(img: np.ndarray, cls: int, box, rng) -> None:
     img[y0:y1, x0:x1][mask] = color
 
 
-def make_image(rng, canvas: int):
+def _class_table(num_classes: int):
+    """Extended class space for the many-class stress configs: class =
+    (shape, hue) pair — 4 shapes × ⌈C/4⌉ evenly spaced hues. Only used
+    when ``num_classes != 3``; the 3-class pinned protocol keeps the
+    legacy color table above bit-exactly."""
+    import colorsys
+
+    n_hues = (num_classes + 3) // 4
+    table = []
+    for c in range(num_classes):
+        shape = c % 4
+        hue = (c // 4) / n_hues
+        r, g, b = colorsys.hsv_to_rgb(hue, 0.85, 0.9)
+        table.append((shape, (int(r * 255), int(g * 255), int(b * 255))))
+    return table
+
+
+def _draw_extended(img, shape: int, color, box, rng) -> None:
+    H, W = img.shape[:2]
+    y0, x0, y1, x1 = (np.array(box) * [H, W, H, W]).astype(int)
+    y1, x1 = max(y1, y0 + 2), max(x1, x0 + 2)
+    jitter = rng.integers(-20, 21, 3)
+    col = np.clip(np.array(color, int) + jitter, 0, 255).astype(np.uint8)
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+    ry, rx = max((y1 - y0) / 2, 1), max((x1 - x0) / 2, 1)
+    if shape == 0:  # square
+        mask = np.ones_like(yy, bool)
+    elif shape == 1:  # ellipse
+        mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    elif shape == 2:  # upright triangle
+        frac = (yy - y0) / max(y1 - y0, 1)
+        mask = np.abs(xx - cx) <= frac * ((x1 - x0) / 2)
+    else:  # diamond
+        mask = np.abs((yy - cy) / ry) + np.abs((xx - cx) / rx) <= 1.0
+    img[y0:y1, x0:x1][mask] = col
+
+
+def make_image(rng, canvas: int, num_classes: int = 3):
     img = rng.integers(20, 60, (canvas, canvas, 3)).astype(np.uint8)
     n = int(rng.integers(1, 5))
     boxes, labels = [], []
+    table = None if num_classes == 3 else _class_table(num_classes)
     for _ in range(n):
-        cls = int(rng.integers(0, 3))
+        cls = int(rng.integers(0, num_classes))
         h, w = rng.uniform(0.15, 0.45, 2)
         y0 = rng.uniform(0.02, 0.96 - h)
         x0 = rng.uniform(0.02, 0.96 - w)
         box = (y0, x0, y0 + h, x0 + w)
-        _draw(img, cls, box, rng)  # later objects may occlude earlier ones
+        if table is None:  # legacy 3-class path (pinned protocol)
+            _draw(img, cls, box, rng)
+        else:
+            shape, color = table[cls]
+            _draw_extended(img, shape, color, box, rng)
         boxes.append(box)
         labels.append(cls)
     return img, np.array(boxes, np.float32), labels
 
 
-def write_split(path: str, n: int, canvas: int, rng, prefix: str) -> None:
+def write_split(path: str, n: int, canvas: int, rng, prefix: str,
+                num_classes: int = 3) -> None:
     with TFRecordWriter(path) as w:
         for i in range(n):
-            img, boxes, labels = make_image(rng, canvas)
+            img, boxes, labels = make_image(rng, canvas, num_classes)
             w.write(
                 build_detection_example(
                     encode_jpeg(img, quality=90),
@@ -98,16 +142,19 @@ def main(argv=None) -> int:
     p.add_argument("--val", type=int, default=128)
     p.add_argument("--canvas", type=int, default=343)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_classes", type=int, default=3,
+                   help="3 = legacy pinned classes; otherwise a "
+                        "(shape x hue) stress class space")
     args = p.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     write_split(
         os.path.join(args.output_dir, "train.tfrecord"),
-        args.train, args.canvas, rng, "tr",
+        args.train, args.canvas, rng, "tr", args.num_classes,
     )
     write_split(
         os.path.join(args.output_dir, "val.tfrecord"),
-        args.val, args.canvas, rng, "va",
+        args.val, args.canvas, rng, "va", args.num_classes,
     )
     print(f"wrote {args.train} train + {args.val} val to {args.output_dir}")
     return 0

@@ -7,6 +7,9 @@ import pytest
 from multibox_tpu.ops import boxes as box_ops
 from tests.conftest import random_boxes
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 def np_iou_matrix(a, b):
     """Numpy oracle for pairwise IoU."""

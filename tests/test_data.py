@@ -20,6 +20,9 @@ from multibox_tpu.data.pipeline import DetectionDataset, Prefetcher, pad_boxes
 from multibox_tpu.data.tfrecord import TFRecordReader, TFRecordWriter
 from tests.conftest import random_boxes
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 def synth_image(rng, h=64, w=80):
     # Smooth gradient + blobs: survives JPEG without huge error.

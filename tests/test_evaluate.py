@@ -9,6 +9,9 @@ from multibox_tpu.evaluate import (
     match_detections,
 )
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 def test_match_detections_greedy():
     gt = np.array([[0.0, 0.0, 0.5, 0.5], [0.5, 0.5, 1.0, 1.0]])

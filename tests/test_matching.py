@@ -10,6 +10,9 @@ from multibox_tpu.ops import matching
 from multibox_tpu.ops import boxes as box_ops
 from tests.conftest import random_boxes
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 def total_benefit(benefit, assignment):
     b = 0.0

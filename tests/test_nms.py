@@ -8,6 +8,9 @@ from multibox_tpu.ops.nms import nms as nms_fn, batched_nms
 from tests.conftest import random_boxes
 from tests.test_boxes import np_iou_matrix
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 def np_nms(boxes, scores, max_outputs, iou_threshold, score_threshold=-np.inf):
     """Numpy greedy-NMS oracle."""

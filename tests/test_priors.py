@@ -6,6 +6,9 @@ import pytest
 from multibox_tpu import priors as priors_mod
 from tests.conftest import random_boxes
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 def test_kmeans_deterministic(rng):
     boxes = random_boxes(rng, 500)

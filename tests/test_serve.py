@@ -14,6 +14,9 @@ import pytest
 
 import jax
 
+# Fast tier: no 8-device e2e state, runs in the `-m smoke` subset.
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def export_dir(tmp_path_factory):
