@@ -103,10 +103,8 @@ def main(argv=None) -> int:
         )
         model = build_model(cfg, priors.shape[0], folded=True, quantize="int8")
     elif args.fold_bn:
-        if cfg.backbone != "inception_v3":
-            raise SystemExit(
-                "--fold_bn currently supports only the inception_v3 backbone"
-            )
+        # fold_batch_norms handles both backbone conventions (inception's
+        # scale-less slim BN and mobilenet's scale-ful BN).
         from multibox_tpu.models.inception_v3 import fold_batch_norms
 
         variables = fold_batch_norms(variables)

@@ -50,11 +50,6 @@ class MultiBoxDetector(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        if self.quantize and self.backbone != "inception_v3":
-            raise ValueError(
-                "int8 quantization currently supports the inception_v3 "
-                f"backbone only (got {self.backbone!r})"
-            )
         if self.backbone == "inception_v3":
             endpoints = InceptionV3(
                 compute_dtype=self.compute_dtype,
@@ -70,6 +65,8 @@ class MultiBoxDetector(nn.Module):
                 width=self.mobilenet_width,
                 compute_dtype=self.compute_dtype,
                 bn_momentum=self.bn_momentum,
+                folded=self.folded,
+                quantize=self.quantize,
                 name="MobileNetV2",
             )(images, train=train)
             final_endpoint = "Final"

@@ -383,37 +383,51 @@ def preprocess_slim(images_uint8: jnp.ndarray) -> jnp.ndarray:
 def fold_batch_norms(variables):
     """Fold BN statistics into conv weights for the ``folded=True`` model.
 
-    ``BN(conv(x)) = conv'(x) + b'`` with ``w' = w·s`` and ``b' = β − μ·s``
-    where ``s = 1/√(σ²+ε)`` (γ fixed at 1, slim style). Returns a params
-    dict for the folded model variant (Conv has a bias, no BatchNorm op) —
-    94 normalization passes eliminated at inference.
+    ``BN(conv(x)) = conv'(x) + b'`` with ``w' = w·γ·s`` and
+    ``b' = β − μ·γ·s`` where ``s = 1/√(σ²+ε)``. Works for both backbone
+    conventions: Inception's slim-style BN has no γ (``use_scale=False`` →
+    γ≡1, the classic slim fold) while MobileNetV2's BN carries a learned γ
+    that is consumed into the kernel here. Returns a params dict for the
+    folded model variant (Conv has a bias, no BatchNorm op) — one
+    normalization pass per conv unit eliminated at inference.
     """
     import flax
 
     params = flax.traverse_util.flatten_dict(variables["params"])
     stats = flax.traverse_util.flatten_dict(variables.get("batch_stats", {}))
     eps = 1e-3
+
+    def bn_scale(unit):
+        """γ/√(σ²+ε) for the unit, with γ=1 when BN has no scale param."""
+        s = 1.0 / jnp.sqrt(stats[unit + ("BatchNorm", "var")].astype(
+            jnp.float32) + eps)
+        gamma = params.get(unit + ("BatchNorm", "scale"))
+        if gamma is not None:
+            s = s * gamma.astype(jnp.float32)
+        return s
+
     out_params = {}
     for key, value in params.items():
         if key[-2:] == ("Conv", "kernel"):
             unit = key[:-2]
-            bn_var = unit + ("BatchNorm", "var")
-            if bn_var in stats:
-                scale = 1.0 / jnp.sqrt(stats[bn_var].astype(jnp.float32) + eps)
+            if unit + ("BatchNorm", "var") in stats:
                 out_params[key] = (
-                    value.astype(jnp.float32) * scale
+                    value.astype(jnp.float32) * bn_scale(unit)
                 ).astype(value.dtype)
                 continue
         if key[-2:] == ("BatchNorm", "bias"):
             unit = key[:-2]
             bn_mean = unit + ("BatchNorm", "mean")
-            bn_var = unit + ("BatchNorm", "var")
             if bn_mean in stats:
-                scale = 1.0 / jnp.sqrt(stats[bn_var].astype(jnp.float32) + eps)
                 bias = value.astype(jnp.float32) - stats[bn_mean].astype(
                     jnp.float32
-                ) * scale
+                ) * bn_scale(unit)
                 out_params[unit + ("Conv", "bias")] = bias.astype(value.dtype)
+                continue
+        if key[-2:] == ("BatchNorm", "scale"):
+            # γ was consumed into the kernel above; the folded model has no
+            # BatchNorm module to receive it.
+            if key[:-2] + ("BatchNorm", "var") in stats:
                 continue
         out_params[key] = value
     return {"params": flax.traverse_util.unflatten_dict(out_params)}

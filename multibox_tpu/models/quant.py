@@ -56,13 +56,14 @@ class QuantConv(nn.Module):
     kernel: Sequence[int]
     strides: Sequence[int] = (1, 1)
     padding: str = "SAME"
+    groups: int = 1  # feature_group_count (mobilenet depthwise: groups=cin)
     calibrate: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         kh, kw = tuple(self.kernel)
-        cin = x.shape[-1]
+        cin = x.shape[-1] // self.groups
         kernel_q = self.param(
             "kernel_q",
             nn.initializers.zeros_init(),
@@ -99,6 +100,7 @@ class QuantConv(nn.Module):
                 strides,
                 self.padding,
                 dimension_numbers=dn,
+                feature_group_count=self.groups,
                 preferred_element_type=jnp.float32,
             )
             return (y + bias).astype(self.compute_dtype)
@@ -116,6 +118,7 @@ class QuantConv(nn.Module):
             strides,
             self.padding,
             dimension_numbers=dn,
+            feature_group_count=self.groups,
             preferred_element_type=jnp.int32,
         )
         y = y.astype(jnp.float32) * ((scale / 127.0) * w_scale) + bias

@@ -60,7 +60,10 @@ def prepare_quantized_variables(
     folded = fold_batch_norms(
         {"params": params, "batch_stats": variables.get("batch_stats", {})}
     )
-    vq = quantize_variables(folded)
+    scope = {"inception_v3": "InceptionV3", "mobilenet_v2": "MobileNetV2"}[
+        cfg.backbone
+    ]
+    vq = quantize_variables(folded, backbone_scope=scope)
 
     calib_model = build_model(
         cfg, cfg.num_priors, folded=True, quantize="calib"
