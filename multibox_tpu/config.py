@@ -155,8 +155,12 @@ class Config:
     # the detect program runs the backbone on the image AND its mirror in
     # ONE doubled batch (a single apply — MXU-friendly), mirrors the
     # flipped pass's decoded boxes back, and feeds the union of candidates
-    # through one NMS pass. ~2× detect FLOPs for a measured quality bump
-    # (BASELINE.md "Flip TTA" A/B); off by default (reference semantics).
+    # through one NMS pass. ~2× detect FLOPs; on the pinned multi-class
+    # eval it measured slightly NEGATIVE (−0.004 mAP@0.5 / −0.008 COCO —
+    # BASELINE.md "Int8 PTQ and flip-TTA quality": the synth classes are
+    # mirror-symmetric, so the mirror adds NMS duplicates, not evidence).
+    # Kept for photographic datasets where flip-TTA classically helps;
+    # validate per dataset. Off by default (reference semantics).
     flip_tta: bool = False
     # Post-training quantization of the detect path: "none" | "int8".
     # int8 folds BN, quantizes the 94 backbone convs to symmetric int8

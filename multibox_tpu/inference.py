@@ -183,7 +183,9 @@ def apply_and_postprocess(model, apply_vars, images, priors, cfg: Config):
     not two dispatches), the mirrored pass's decoded boxes are flipped
     back (``ops.boxes.flip_boxes_horizontal``), and the union of both
     orientations' candidates goes through one NMS pass. ~2× detect FLOPs;
-    measured quality delta pinned in BASELINE.md.
+    measured quality delta pinned in BASELINE.md "Int8 PTQ and flip-TTA
+    quality" (slightly negative on the mirror-symmetric pinned synth eval;
+    validate per dataset before enabling).
     """
     if not cfg.flip_tta:
         locations, confidences = model.apply(apply_vars, images, train=False)
