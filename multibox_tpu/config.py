@@ -149,7 +149,12 @@ class Config:
     per_class_detect: Optional[bool] = None
     # Per-image candidate budget for the per-class sweep: the [P·C] score
     # grid is top-k-pruned to this many candidates before NMS so the NMS
-    # cost stays independent of num_classes (static shapes).
+    # cost stays independent of num_classes (static shapes). Default
+    # justified by measurement (BASELINE.md "detect_candidates budget
+    # sweep"): exactly saturated at 3 classes and within 0.0003 mAP@0.5
+    # of a 16× budget at 32 classes × 9.5k priors (the eval protocol's
+    # max_detections=100 cap bounds how much score-grid tail can matter);
+    # 256 measurably loses ~0.01 mAP@0.5. Raise for class counts ≫ 32.
     detect_candidates: int = 1024
     # Horizontal-flip test-time augmentation (classic detection-era TTA):
     # the detect program runs the backbone on the image AND its mirror in
