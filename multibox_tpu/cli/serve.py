@@ -49,6 +49,14 @@ def main(argv=None) -> int:
         del server.RequestHandlerClass.log_message
     sizes = server.service and sorted(server.service.detector.calls)
     print(
+        f"warming up: compiling programs for batch sizes {sizes} ...",
+        flush=True,
+    )
+    # The worker thread compiles every exported program before serving
+    # traffic (serving.ExportedDetector.warmup) — wait so the "serving"
+    # line below means ready-for-traffic, not accepting-then-stalling.
+    server.service.ready.wait()
+    print(
         f"serving {args.export_dir} on http://{args.host}:{args.port} "
         f"(batch sizes {sizes}, window {args.batch_window_ms} ms)",
         flush=True,

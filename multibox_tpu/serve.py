@@ -58,7 +58,7 @@ class DetectorService:
     """Micro-batching wrapper: many callers, one device worker."""
 
     def __init__(self, detector, max_batch: int = None,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0, warmup: bool = True):
         self.detector = detector
         sizes = sorted(detector.calls) or [detector.batch_size]
         self.max_batch = max_batch or max(sizes)
@@ -67,6 +67,8 @@ class DetectorService:
         self._q: queue.Queue = queue.Queue()
         self.stats = {"requests": 0, "device_batches": 0, "images": 0}
         self._closed = False
+        self._warmup = warmup
+        self.ready = threading.Event()  # set once warmup compiles finish
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -119,6 +121,15 @@ class DetectorService:
         return group
 
     def _run(self):
+        # Warmup on the worker thread (the single device owner): compile
+        # every exported batch-size program BEFORE serving traffic, so the
+        # first group of each size never stalls behind a fresh compile
+        # (measured: a cold batch-32 compile through the device link blew
+        # the 60 s waiter timeout under concurrency). Requests submitted
+        # during warmup simply queue.
+        if self._warmup and hasattr(self.detector, "warmup"):
+            self.detector.warmup()
+        self.ready.set()
         while not self._closed:
             group = self._collect()
             if not group:
@@ -179,6 +190,13 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
     sizes = sorted(detector.calls)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 so client connections are keep-alive by default: every
+        # response carries Content-Length (see _send), which 1.1 requires
+        # for persistent connections. Under HTTP/1.0 each request paid a
+        # fresh TCP connect, and connect bursts at high concurrency
+        # overflowed the accept backlog into resets (measured at c=32).
+        protocol_version = "HTTP/1.1"
+
         # quiet by default; --verbose flips this in main()
         def log_message(self, fmt, *args):
             pass
@@ -201,7 +219,9 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
             path = urlparse(self.path).path
             if path == "/healthz":
                 self._send(200, {
-                    "status": "ok",
+                    # "warming" until the startup compiles finish — load
+                    # balancers should gate traffic on status == "ok"
+                    "status": "ok" if service.ready.is_set() else "warming",
                     "batch_sizes": sizes,
                     "input_size": service.input_size,
                     "num_priors": int(detector.priors.shape[0]),
@@ -247,9 +267,20 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
                     })
                 else:
                     self._send(404, {"error": f"unknown path {path}"})
+            except TimeoutError as e:
+                # server-side condition (device worker overloaded/stalled),
+                # not a bad request — clients/load balancers may retry
+                self._send(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # a bad request must not kill the daemon
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # The stdlib listen backlog is 5; a burst of N>5 simultaneous
+        # connects (load spike, bench ramp) gets TCP RSTs before a handler
+        # ever runs. Keep-alive makes connects rare, but the first burst
+        # still has to land.
+        request_queue_size = 128
+
+    server = Server((host, port), Handler)
     server.service = service  # tests reach the batcher through this
     return server

@@ -36,6 +36,23 @@ class ExportedDetector:
     # batch size -> compiled program; single-program exports have one entry.
     calls: Dict[int, Callable] = field(default_factory=dict)
 
+    def warmup(self) -> None:
+        """Execute every exported batch-size program once (zero inputs).
+
+        Exported programs compile lazily on first call; on a high-latency
+        device link a fresh compile costs seconds to minutes. Without
+        warmup, the first request group that happens to fill a given batch
+        size stalls behind that compile — under concurrency this turns
+        into a timeout storm the moment load first spikes (measured: the
+        serve bench's first batch-32 group blew through the 60 s waiter
+        timeout). Serving daemons call this once at startup so steady-state
+        latency is the only latency."""
+        for size in sorted(self.calls):
+            dummy = jnp.zeros(
+                (size, self.input_size, self.input_size, 3), jnp.float32
+            )
+            jax.block_until_ready(self.calls[size](dummy))
+
     def __call__(self, images) -> Dict[str, np.ndarray]:
         """Run detection on ``[B, S, S, 3]`` float32 images in [-1, 1].
 

@@ -43,28 +43,43 @@ def _encode_test_image(size: int, seed: int = 0) -> bytes:
 
 def drive(port: int, payloads, concurrency: int, requests_per_client: int):
     """N client threads, each sending sequential POST /detect requests over
-    a keep-alive connection. Returns (latencies_s, wall_s)."""
+    a keep-alive connection. Returns (latencies_s, wall_s, errors).
+
+    A failed request (non-200, reset, timeout) is COUNTED, not fatal: one
+    crashed client thread would silently drop its whole latency sample and
+    skew the percentiles of everything that follows."""
     lat = []
+    errors = []
     lock = threading.Lock()
     barrier = threading.Barrier(concurrency + 1)
 
     def client(tid: int):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
-        mine = []
+        mine, mine_err = [], []
         barrier.wait()
         for i in range(requests_per_client):
             body = payloads[(tid + i) % len(payloads)]
             t0 = time.monotonic()
-            conn.request("POST", "/detect", body=body,
-                         headers={"Content-Type": "application/octet-stream"})
-            resp = conn.getresponse()
-            data = resp.read()
-            dt = time.monotonic() - t0
-            assert resp.status == 200, data[:200]
-            mine.append(dt)
+            try:
+                conn.request(
+                    "POST", "/detect", body=body,
+                    headers={"Content-Type": "application/octet-stream"},
+                )
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status}: {data[:120]}")
+                mine.append(time.monotonic() - t0)
+            except Exception as e:  # count + fresh connection, keep going
+                mine_err.append(f"{type(e).__name__}: {e}")
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    "127.0.0.1", port, timeout=120
+                )
         conn.close()
         with lock:
             lat.extend(mine)
+            errors.extend(mine_err)
 
     threads = [
         threading.Thread(target=client, args=(t,)) for t in range(concurrency)
@@ -76,7 +91,7 @@ def drive(port: int, payloads, concurrency: int, requests_per_client: int):
     for t in threads:
         t.join()
     wall = time.monotonic() - t0
-    return lat, wall
+    return lat, wall, errors
 
 
 def run_config(export_dir, label, max_batch, window_ms, concurrencies,
@@ -94,13 +109,21 @@ def run_config(export_dir, label, max_batch, window_ms, concurrencies,
     payloads = [_encode_test_image(input_size, seed=s) for s in range(8)]
     rows = []
     try:
-        # warmup: compile every exported batch-size program
+        # the daemon pre-compiles every exported program at startup
+        # (DetectorService warmup) — wait so measured latencies are
+        # steady-state, then one client-path warmup pass
+        server.service.ready.wait()
         drive(port, payloads, 2, 3)
         for conc in concurrencies:
             stats0 = dict(server.service.stats)
-            lat, wall = drive(port, payloads, conc, requests)
+            lat, wall, errors = drive(port, payloads, conc, requests)
             stats1 = dict(server.service.stats)
             n = len(lat)
+            if n == 0:  # an all-error run must not crash the sweep
+                print(json.dumps({"config": label, "concurrency": conc,
+                                  "requests": 0, "errors": len(errors),
+                                  "error_sample": errors[:3]}), flush=True)
+                continue
             row = {
                 "config": label,
                 "max_batch": max_batch,
@@ -111,6 +134,7 @@ def run_config(export_dir, label, max_batch, window_ms, concurrencies,
                 "p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 1),
                 "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
                 "throughput_rps": round(n / wall, 1),
+                "errors": len(errors),
                 "device_batches": stats1["device_batches"]
                 - stats0["device_batches"],
                 "imgs_per_device_batch": round(
@@ -121,6 +145,9 @@ def run_config(export_dir, label, max_batch, window_ms, concurrencies,
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
+            if errors:
+                print(json.dumps({"config": label, "concurrency": conc,
+                                  "error_sample": errors[:3]}), flush=True)
     finally:
         server.shutdown()
         server.service.close()

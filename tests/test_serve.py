@@ -97,7 +97,13 @@ def _post(url, data, headers=None):
 
 
 def test_healthz(server):
-    _, base = server
+    srv, base = server
+    status, body = _get(base + "/healthz")
+    assert status == 200
+    # daemon reports "warming" until the startup compiles finish, then "ok"
+    # (load balancers gate traffic on it) — wait for warmup to observe "ok"
+    assert body["status"] in ("ok", "warming")
+    assert srv.service.ready.wait(120)
     status, body = _get(base + "/healthz")
     assert status == 200
     assert body["status"] == "ok"
