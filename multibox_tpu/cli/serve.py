@@ -6,7 +6,7 @@ TPU-native deployment face of the same export). Stdlib-only HTTP server
 with micro-batching: concurrent requests coalesce into one device dispatch
 per batch window. See multibox_tpu/serve.py for the endpoint contract.
 
-  multibox-serve --export_dir EXPORT [--port 8000] [--batch_window_ms 5]
+  multibox-serve --export_dir EXPORT [--port 8000] [--batch_window_ms 40]
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ def main(argv=None) -> int:
     parser.add_argument("--max_batch", type=int, default=None,
                         help="micro-batch cap (default: largest exported "
                              "batch size)")
-    parser.add_argument("--batch_window_ms", type=float, default=5.0,
+    parser.add_argument("--batch_window_ms", type=float, default=40.0,
                         help="how long the batcher waits for stragglers")
     parser.add_argument("--class_names", nargs="+", default=None,
                         help="display names for class ids in responses")

@@ -57,8 +57,17 @@ class _Pending:
 class DetectorService:
     """Micro-batching wrapper: many callers, one device worker."""
 
+    # Measured default (BASELINE.md "Serving daemon"): the window should
+    # cover the link's per-dispatch overhead so a dispatch drains the whole
+    # waiting crowd — on this ~30 ms-RTT relay the {5, 20, 40, 80} ms sweep
+    # put 40 ms best at c=8 AND c=32 (25.1/20.8 rps vs 8.4/17.7 at 5 ms);
+    # 80 ms only adds queueing (c8 p99 8.4 s). On a locally-attached TPU
+    # (sub-ms dispatch) lower it toward the largest program's step time.
+    DEFAULT_WINDOW_MS = 40.0
+
     def __init__(self, detector, max_batch: int = None,
-                 batch_window_ms: float = 5.0, warmup: bool = True):
+                 batch_window_ms: float = DEFAULT_WINDOW_MS,
+                 warmup: bool = True):
         self.detector = detector
         sizes = sorted(detector.calls) or [detector.batch_size]
         self.max_batch = max_batch or max(sizes)
@@ -174,7 +183,8 @@ def _detections_json(result: Dict[str, np.ndarray], threshold: float,
 
 
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
-                max_batch: int = None, batch_window_ms: float = 5.0,
+                max_batch: int = None,
+                batch_window_ms: float = DetectorService.DEFAULT_WINDOW_MS,
                 class_names: List[str] = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server — tests drive it in-process
     via ``serve_forever`` on a thread."""
