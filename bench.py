@@ -64,7 +64,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu_detect(batch=32, iters=30, priors_count=256):
+def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
     """Device-side chained timing: N data-dependent detect steps inside ONE
     jitted program, one host sync. Immune to (a) the remote runtime
     memoizing repeated identical calls and (b) the ~30ms D2H round-trip
@@ -141,6 +141,8 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256):
 
     # p50 single-image latency: per-call including one host sync (that IS
     # the latency a single-image caller experiences).
+    if not latency:
+        return ips, None, tflops, mfu
     one = images[:1]
     detect_one = jax.jit(detect_body)
     jax.block_until_ready(detect_one(variables, one))
@@ -387,6 +389,21 @@ def main():
             )
         except Exception as e:  # secondary metric must never sink the headline
             log("int8 detect bench failed:", e)
+    if os.environ.get("BENCH_SKIP_B128", "0") != "1":
+        try:
+            # Throughput-scaling row: the same detect program at batch 128
+            # fills the MXU far better than b32 (BASELINE.md roofline: the
+            # backbone ceiling is ~46% MFU at b128 vs ~22% at b32).
+            ips128, _, tf128, mfu128 = bench_tpu_detect(
+                batch=128, iters=10, latency=False
+            )
+            extras.update(
+                detect_b128_img_per_sec=round(ips128, 1),
+                detect_b128_tflops=round(tf128, 2),
+                detect_b128_mfu=round(mfu128, 4),
+            )
+        except Exception as e:  # secondary metric must never sink the headline
+            log("b128 detect bench failed:", e)
     if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
         try:
             t_ips, t_ms, t_tf, t_mfu = bench_tpu_train(batch=batch)

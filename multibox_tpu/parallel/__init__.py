@@ -8,8 +8,10 @@ from multibox_tpu.parallel.mesh import (
     make_parallel_train_step,
     replicate_state,
 )
+from multibox_tpu.parallel.sync import coordination_barrier
 
 __all__ = [
+    "coordination_barrier",
     "make_mesh",
     "shard_batch",
     "make_parallel_detect_fn",

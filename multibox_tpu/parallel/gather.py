@@ -42,6 +42,13 @@ def process_allgather_objects(obj: Any) -> List[Any]:
         return [obj]
     from jax.experimental import multihost_utils
 
+    from multibox_tpu.parallel.sync import coordination_barrier
+
+    # Hosts arrive here with unbounded skew (per-host shards of differing
+    # cost, compile-time jitter) and Gloo's rendezvous only tolerates 30 s
+    # of it (see parallel.sync). Align through the coordination service
+    # first so the Gloo collectives below start together.
+    coordination_barrier("allgather_objects")
     payload = np.frombuffer(pickle.dumps(obj), np.uint8)
     if payload.size >= 2**31:
         raise ValueError(

@@ -66,7 +66,21 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
-    """Replicate the train state across the mesh."""
+    """Replicate the train state across the mesh.
+
+    Multi-host: leaves that are already COMMITTED process-local jax arrays
+    (e.g. an orbax restore into a single-device template) cannot be
+    ``device_put`` onto a mesh spanning other processes — jax raises
+    "backend does not support cross-host device transfers". Every process
+    holds the identical full value (same checkpoint, same init seed), so
+    pull such leaves back to host first; the put is then a purely local
+    placement onto each process's addressable replicas.
+    """
+    if jax.process_count() > 1:
+        state = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            state,
+        )
     return jax.device_put(state, replicated(mesh))
 
 

@@ -27,6 +27,7 @@ from multibox_tpu.data import augment as augment_mod
 from multibox_tpu.data.pipeline import DetectionDataset, Prefetcher
 from multibox_tpu.inference import build_model
 from multibox_tpu.parallel import (
+    coordination_barrier,
     make_mesh,
     make_parallel_train_step,
     replicate_state,
@@ -207,6 +208,11 @@ def train(
     model = build_model(cfg, priors.shape[0])
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed), priors.shape[0])
 
+    # Multi-host: orbax's manager init/restore below issues the job's FIRST
+    # cross-host collective, and the host work above it (imports, state
+    # init compiles) skews processes by more than Gloo's fixed 30 s
+    # rendezvous window on slow hosts. Align first (parallel.sync).
+    coordination_barrier("train/pre_checkpoint_manager")
     ckpt = CheckpointManager(
         logdir, keep=cfg.keep_checkpoints, save_every=cfg.save_every_steps
     )
@@ -316,6 +322,46 @@ def train(
     # N processes appending to one metrics.jsonl / events dir on a shared
     # logdir would interleave identical (replicated) records.
     writer = MetricsWriter(logdir, enabled=jax.process_index() == 0)
+
+    if jax.process_count() > 1 and use_mesh and len(devices) > 1:
+        # AOT-compile the step program(s), THEN align. jit-on-first-call
+        # would put each process's compile (minutes on a contended host,
+        # with unbounded inter-process skew) inside the first gradient
+        # all-reduce's 30 s Gloo rendezvous window (parallel.sync). After
+        # the fence every process launches the first step together.
+        from multibox_tpu.parallel.mesh import batch_sharding
+
+        gbatch = cfg.batch_size
+
+        def batch_specs(lead, sharding):
+            specs = {
+                "images": jax.ShapeDtypeStruct(
+                    lead + (gbatch, canvas, canvas, 3), jnp.uint8,
+                    sharding=sharding,
+                ),
+                "boxes": jax.ShapeDtypeStruct(
+                    lead + (gbatch, cfg.max_num_bboxes, 4), jnp.float32,
+                    sharding=sharding,
+                ),
+                "num_boxes": jax.ShapeDtypeStruct(
+                    lead + (gbatch,), jnp.int32, sharding=sharding
+                ),
+            }
+            if cfg.num_classes > 1:
+                specs["labels"] = jax.ShapeDtypeStruct(
+                    lead + (gbatch, cfg.max_num_bboxes), jnp.int32,
+                    sharding=sharding,
+                )
+            return specs
+
+        pstep = pstep.lower(
+            state, batch_specs((), batch_sharding(mesh, cfg.data_axis))
+        ).compile()
+        if chunk > 1:
+            cstep = cstep.lower(
+                state, batch_specs((chunk,), super_sharding)
+            ).compile()
+        coordination_barrier("train/step_compiled")
 
     def host_batches():
         for batch in dataset:
