@@ -113,8 +113,14 @@ def main(argv=None) -> int:
         for p in args.images:
             matched = sorted(globmod.glob(p))
             paths.extend(matched if matched else [p])
+        # Multi-host: shard the file list across processes (same
+        # round-robin rule as tfrecord detect); the result lists merge
+        # inside run_detect_loop's all-gather. Glob order is sorted, so
+        # every process derives the same global list to shard.
         image_dataset = ImageFileDataset(
-            paths, batch_size=cfg.batch_size, canvas_size=cfg.input_size
+            paths, batch_size=cfg.batch_size, canvas_size=cfg.input_size,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
 
     results = run_detection(
@@ -123,6 +129,18 @@ def main(argv=None) -> int:
         priors, args.checkpoint_path, args.score_threshold,
         dataset=image_dataset,
     )
+
+    if image_dataset is not None and jax.process_count() > 1:
+        # Each process's ImageFileDataset recorded source sizes only for
+        # its own shard; --coco_json needs them for the full set. This is
+        # a COLLECTIVE, so it must run on every process, before the
+        # process-0 write gate below.
+        from multibox_tpu.parallel.gather import process_allgather_objects
+
+        merged = {}
+        for shard_sizes in process_allgather_objects(image_dataset.sizes):
+            merged.update(shard_sizes)
+        image_dataset.sizes = merged
 
     if jax.process_index() != 0:
         # Multi-host: every process holds the full gathered result list,

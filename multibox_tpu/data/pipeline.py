@@ -272,18 +272,39 @@ class ImageFileDataset:
     ``image_id`` is the file basename when unique across the input set,
     else the full path. After iteration ``self.sizes`` maps image_id →
     source (height, width) in pixels (COCO-format export needs them).
+
+    shard_index/shard_count: multi-HOST data parallelism, same round-robin
+    rule as ``DetectionDataset`` — this process keeps files where
+    ``i % shard_count == shard_index`` over the GLOBAL path order, so the
+    shards partition the input exactly. Id uniqueness is decided on the
+    global set (every process must assign the same id to the same file —
+    the post-gather merge keys on it). ``self.sizes`` covers only this
+    process's shard; multi-host callers all-gather the per-shard maps
+    (``cli/detect.py`` does).
     """
 
     def __init__(self, paths: Sequence[str], batch_size: int,
-                 canvas_size: int):
-        self.paths = [str(p) for p in paths]
-        if not self.paths:
+                 canvas_size: int, shard_index: int = 0,
+                 shard_count: int = 1):
+        paths = [str(p) for p in paths]
+        if not paths:
             raise ValueError("no image files given")
-        names = [os.path.basename(p) for p in self.paths]
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(
+                f"shard_index {shard_index} outside [0, {shard_count})"
+            )
+        names = [os.path.basename(p) for p in paths]
         unique = len(set(names)) == len(names)
         self._ids = {
-            p: (os.path.basename(p) if unique else p) for p in self.paths
+            p: (os.path.basename(p) if unique else p) for p in paths
         }
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.paths = (
+            paths if shard_count == 1
+            else [p for i, p in enumerate(paths)
+                  if i % shard_count == shard_index]
+        )
         self.batch_size = batch_size
         self.canvas_size = canvas_size
         self.sizes: Dict[str, tuple] = {}

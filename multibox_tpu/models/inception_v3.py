@@ -103,7 +103,7 @@ class ConvBN(nn.Module):
                 self.features,
                 use_bias=True,
                 relu=True,
-                use_pallas=self.use_pallas, quantize=self.quantize,
+                use_pallas=self.use_pallas,
                 dtype=self.compute_dtype,
                 name="Conv",
             )(x)

@@ -59,6 +59,31 @@ def main() -> int:
     )
     with open(f"{workdir}/results_{pid}.pkl", "wb") as f:
         pickle.dump(results, f)
+
+    # Same session, raw-FILE input (multibox-detect --images): shard the
+    # file list per process, detect, and all-gather the per-shard source-
+    # size maps exactly as cli/detect.py does for --coco_json.
+    import glob
+
+    img_paths = sorted(glob.glob(f"{workdir}/rawimg_*.jpg"))
+    if img_paths:
+        from multibox_tpu.data.pipeline import ImageFileDataset
+        from multibox_tpu.parallel.gather import process_allgather_objects
+
+        img_ds = ImageFileDataset(
+            img_paths, batch_size=cfg.batch_size,
+            canvas_size=cfg.input_size,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+        )
+        img_results = run_detect_loop(
+            cfg, state.detect_variables(), img_ds, priors
+        )
+        merged_sizes = {}
+        for shard_sizes in process_allgather_objects(img_ds.sizes):
+            merged_sizes.update(shard_sizes)
+        with open(f"{workdir}/img_results_{pid}.pkl", "wb") as f:
+            pickle.dump({"results": img_results, "sizes": merged_sizes}, f)
     return 0
 
 

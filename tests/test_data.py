@@ -1,6 +1,8 @@
 """Data layer: tfrecord/Example codec vs TF oracles, JPEG decode parity,
 on-device resize/crop parity, augmentation invariants (SURVEY.md §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -589,3 +591,53 @@ def test_image_file_dataset(tmp_path, rng):
 
     with pytest.raises(ValueError):
         ImageFileDataset([], batch_size=2, canvas_size=16)
+
+
+def test_image_file_dataset_sharding(tmp_path, rng):
+    """Multi-host --images: round-robin file shards partition the input
+    exactly (same rule as DetectionDataset), ids stay GLOBALLY unique
+    decisions, and each shard's sizes map covers exactly its own files
+    (cli/detect.py all-gathers the maps for --coco_json)."""
+    from PIL import Image
+
+    from multibox_tpu.data.pipeline import ImageFileDataset
+
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"img{i}.jpg")
+        Image.fromarray(synth_image(rng, 24 + i, 24)).save(p, format="JPEG")
+        paths.append(p)
+
+    shards = [
+        ImageFileDataset(paths, batch_size=2, canvas_size=16,
+                         shard_index=s, shard_count=2)
+        for s in range(2)
+    ]
+    ids = []
+    for ds in shards:
+        for b in ds:
+            ids += b["image_ids"][: int(b["batch_valid"])]
+    assert sorted(ids) == sorted(f"img{i}.jpg" for i in range(5))
+    assert shards[0].paths == [paths[0], paths[2], paths[4]]
+    # per-shard sizes cover exactly the shard's files; merging the maps
+    # (what cli/detect.py does after the gather) covers the full set
+    merged = {}
+    for ds in shards:
+        assert set(ds.sizes) == {os.path.basename(p) for p in ds.paths}
+        merged.update(ds.sizes)
+    assert merged == {f"img{i}.jpg": (24 + i, 24) for i in range(5)}
+
+    # id uniqueness is decided on the GLOBAL list: a basename collision
+    # across different shards must still push every shard to full paths
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    dup = str(sub / "img0.jpg")
+    Image.fromarray(synth_image(rng, 20, 20)).save(dup, format="JPEG")
+    ds = ImageFileDataset([paths[0], dup], batch_size=2, canvas_size=16,
+                          shard_index=1, shard_count=2)
+    (b,) = list(ds)
+    assert b["image_ids"][:1] == [dup]
+
+    with pytest.raises(ValueError):
+        ImageFileDataset(paths, batch_size=2, canvas_size=16,
+                         shard_index=2, shard_count=2)

@@ -47,6 +47,16 @@ def workdir(tmp_path_factory):
                     height=80, width=80,
                 )
             )
+    # Raw image FILES for the --images path (distinct sizes so the
+    # gathered source-size map is discriminating); 5 files across 2
+    # processes exercises uneven shards + final-batch padding.
+    from PIL import Image
+
+    for i in range(5):
+        img = np.full((40 + i, 40, 3), 25, np.uint8)
+        img[8:24, 8:24] = [210, 170, 60]
+        Image.fromarray(img).save(str(root / f"rawimg_{i}.jpg"))
+
     cfg = {
         "INPUT_SIZE": 75,
         "BATCH_SIZE": 2,
@@ -99,12 +109,46 @@ def reference_results(workdir):
     return run_detect_loop(cfg, state.detect_variables(), dataset, priors)
 
 
+@pytest.fixture(scope="module")
+def reference_img_results(workdir):
+    """Single-process run of the SAME raw-file detect (--images path)."""
+    import glob
+
+    import jax
+
+    from multibox_tpu.config import parse_config_file
+    from multibox_tpu.data.pipeline import ImageFileDataset
+    from multibox_tpu.inference import build_model, run_detect_loop
+    from multibox_tpu.train.state import create_train_state
+
+    cfg = parse_config_file(str(workdir["root"] / "config.yaml"))
+    priors = workdir["priors"]
+    cfg.num_priors = priors.shape[0]
+    model = build_model(cfg, priors.shape[0])
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), priors.shape[0]
+    )
+    ds = ImageFileDataset(
+        sorted(glob.glob(str(workdir["root"] / "rawimg_*.jpg"))),
+        batch_size=cfg.batch_size, canvas_size=cfg.input_size,
+    )
+    return run_detect_loop(cfg, state.detect_variables(), ds, priors)
+
+
 def test_allgather_objects_single_process_passthrough():
     from multibox_tpu.parallel.gather import process_allgather_objects
 
     obj = {"a": np.arange(3), "b": "x"}
     out = process_allgather_objects(obj)
     assert len(out) == 1 and out[0] is obj
+
+
+def test_coordination_barrier_single_process_noop():
+    """Single-process (and no-coordinator) calls must return immediately
+    so call sites need no process-count branches (parallel.sync)."""
+    from multibox_tpu.parallel.sync import coordination_barrier
+
+    coordination_barrier("unit")  # would hang/raise if not a no-op
 
 
 def _free_port():
@@ -157,19 +201,43 @@ def _check(workdir, reference_results, nprocs=2):
         os.remove(workdir["root"] / f"results_{pid}.pkl")
 
 
+def _check_images(workdir, reference_img_results, nprocs=2):
+    """--images path: gathered results match the single-process run and
+    the all-gathered source-size map covers the full file set (what
+    cli/detect.py --coco_json consumes)."""
+    ref = {r["image_id"]: r for r in reference_img_results}
+    want_sizes = {f"rawimg_{i}.jpg": (40 + i, 40) for i in range(5)}
+    for pid in range(nprocs):
+        with open(workdir["root"] / f"img_results_{pid}.pkl", "rb") as f:
+            got = pickle.load(f)
+        ids = [r["image_id"] for r in got["results"]]
+        assert sorted(ids) == sorted(ref.keys())
+        for r in got["results"]:
+            e = ref[r["image_id"]]
+            assert np.allclose(r["boxes"], e["boxes"], atol=1e-4)
+            assert np.allclose(r["scores"], e["scores"], atol=1e-4)
+        assert got["sizes"] == want_sizes
+        os.remove(workdir["root"] / f"img_results_{pid}.pkl")
+
+
 def test_two_process_detect_matches_single_process(
-    workdir, reference_results
+    workdir, reference_results, reference_img_results
 ):
-    """2 processes × 1 local device: per-batch path + result gather."""
+    """2 processes × 1 local device: per-batch path + result gather, for
+    both tfrecord and raw-file (--images) inputs."""
     _spawn_workers(workdir, ndev_per_proc=1)
     _check(workdir, reference_results)
+    _check_images(workdir, reference_img_results)
 
 
-def test_two_process_local_mesh_detect(workdir, reference_results):
+def test_two_process_local_mesh_detect(
+    workdir, reference_results, reference_img_results
+):
     """2 processes × 2 local devices (batch divisible): each host shards
     its batch over its LOCAL mesh — the pdetect path under multi-process."""
     _spawn_workers(workdir, ndev_per_proc=2)
     _check(workdir, reference_results)
+    _check_images(workdir, reference_img_results)
 
 
 def test_multihost_requires_sharded_dataset(monkeypatch, workdir):

@@ -131,9 +131,12 @@ def test_quantize_validation(quant_setup):
     cfg, priors, variables, calib = quant_setup
     with pytest.raises(ValueError, match="quantize"):
         make_detect_body(_cfg(quantize="int4"), jnp.asarray(priors))
-    with pytest.raises(ValueError, match="inception_v3"):
+    with pytest.raises(ValueError, match="folded"):
+        # Round 4 lifted the inception-only guard (mobilenet int8 is
+        # supported); quantize still requires the BN-FOLDED variant on
+        # every backbone (scales are calibrated on folded weights).
         m = build_model(
-            _cfg(backbone="mobilenet_v2"), 16, folded=True, quantize="int8"
+            _cfg(backbone="mobilenet_v2"), 16, folded=False, quantize="int8"
         )
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
     with pytest.raises(ValueError, match="calib"):
