@@ -41,6 +41,15 @@ class Config:
 
     # --- training ---
     batch_size: int = 32
+    # >1 → split each step's batch into this many sequential microbatches,
+    # average their gradients, and apply the optimizer ONCE — the effective
+    # batch stays batch_size while activation memory scales with
+    # batch_size/grad_accum_steps (compose with `remat` for the largest
+    # effective batches). batch_size must be divisible by it. BN caveat
+    # (standard for grad accumulation): train-mode BN normalizes over each
+    # MICRObatch, and the running stats take grad_accum_steps momentum
+    # updates per optimizer step.
+    grad_accum_steps: int = 1
     max_num_bboxes: int = 16
     location_loss_alpha: float = 1.0  # α weight on the location loss
     matching: str = "greedy"  # "greedy" | "hungarian"

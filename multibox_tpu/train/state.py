@@ -193,11 +193,63 @@ def make_train_step(cfg: Config, model, priors: jnp.ndarray):
         )
         return total, (updates["batch_stats"], metrics)
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+    def _grads_direct(state: TrainState, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, batch
         )
+        return grads, new_stats, metrics
+
+    def _grads_accumulated(state: TrainState, batch):
+        # Gradient accumulation (cfg.grad_accum_steps = A): scan A
+        # sequential microbatches of size B/A, summing gradients, then
+        # average. Per-microbatch loss is already a mean over its images,
+        # so the mean of A equal-sized microbatch grads equals the
+        # full-batch grad (up to BN: train-mode BN normalizes over each
+        # microbatch, the standard grad-accum approximation). Activation
+        # memory scales with B/A; the gradient buffer is one param-sized
+        # pytree carried through the scan.
+        A = cfg.grad_accum_steps
+        B = jax.tree.leaves(batch)[0].shape[0]
+        if B % A != 0:
+            raise ValueError(
+                f"batch dim {B} not divisible by grad_accum_steps={A}"
+            )
+        micro = jax.tree.map(
+            lambda x: x.reshape((A, B // A) + x.shape[1:]), batch
+        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, mb):
+            stats, gsum = carry
+            (_, (stats, metrics)), grads = grad_fn(state.params, stats, mb)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (stats, gsum), metrics
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (new_stats, gsum), metrics_a = jax.lax.scan(
+            body, (state.batch_stats, zeros), micro
+        )
+        # Accumulate in f32 (zeros init), cast back to the param grad dtype.
+        grads = jax.tree.map(
+            lambda g, p: (g / A).astype(p.dtype), gsum, state.params
+        )
+        # Losses are per-image means → average across microbatches;
+        # num_* metrics are batch SUMS → sum so they report on the full
+        # effective batch.
+        metrics = {
+            k: jnp.sum(v, axis=0) if k.startswith("num_") else jnp.mean(v, axis=0)
+            for k, v in metrics_a.items()
+        }
+        return grads, new_stats, metrics
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if cfg.grad_accum_steps > 1:
+            grads, new_stats, metrics = _grads_accumulated(state, batch)
+        else:
+            grads, new_stats, metrics = _grads_direct(state, batch)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # EMA shadows: slim ExponentialMovingAverage with num_updates —

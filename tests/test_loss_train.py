@@ -430,3 +430,119 @@ def test_train_wires_step_bound_into_schedule_horizon(monkeypatch, tmp_path):
                    max_steps=5, schedule_total=777)
     assert captured["cfg"].max_number_of_steps == 777
     assert cfg.max_number_of_steps == 100000  # caller's cfg untouched
+
+
+def _tiny_bnfree_setup(batch_size, grad_accum_steps=1):
+    """BN-free tiny detector + train state for EXACT grad-accum parity.
+
+    With train-mode BatchNorm the deep backbone is chaotically sensitive
+    to float32 reduction order (see test_dp_grads_match_single_device's
+    docstring — measured here too: loss([mb; mb]) vs loss(mb) differs ~1%
+    through the full Inception at random init), so the accumulation
+    MECHANICS are pinned bitwise-tight on a model whose forward is
+    per-image independent; the full model gets a tolerance test below.
+    """
+    import dataclasses
+    import flax.linen as nn
+    from multibox_tpu.train import create_train_state, make_train_step
+
+    P = 8
+
+    class TinyDet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+            x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+            out = nn.Dense(P * 5)(x)
+            return out[:, : P * 4].reshape(-1, P, 4), out[:, P * 4 :]
+
+    cfg = Config(
+        input_size=32, num_priors=P, batch_size=batch_size,
+        max_num_bboxes=3, compute_dtype="float32",
+        grad_accum_steps=grad_accum_steps, num_train_examples=batch_size,
+    )
+    rng = np.random.default_rng(9)
+    priors = jnp.asarray(
+        np.sort(rng.uniform(0.05, 0.95, (P, 2, 2)).astype(np.float32), axis=1
+                ).reshape(P, 4))
+    model = TinyDet()
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), P)
+    step = jax.jit(make_train_step(cfg, model, priors))
+    batch = {
+        "images": jnp.asarray(
+            rng.normal(0, 0.5, (batch_size, 32, 32, 3)).astype(np.float32)),
+        "boxes": jnp.asarray(
+            np.stack([random_boxes(rng, 3) for _ in range(batch_size)])),
+        "num_boxes": jnp.asarray(np.full((batch_size,), 2, np.int32)),
+    }
+    return state, step, batch
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum_steps=A averages A microbatch grads into ONE update —
+    on a per-image-independent (BN-free) model this must equal the plain
+    full-batch update up to reduction-order rounding, and the num_*
+    metrics must SUM back to full-batch counts."""
+    state_a, step_a, batch = _tiny_bnfree_setup(8, grad_accum_steps=4)
+    state_b, step_b, _ = _tiny_bnfree_setup(8)
+    sa, ma = step_a(state_a, batch)
+    sb, mb = step_b(state_b, batch)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    assert float(ma["num_pos"]) == float(mb["num_pos"])
+    assert float(ma["num_neg_kept"]) == float(mb["num_neg_kept"])
+    assert float(ma["num_gt_dropped"]) == float(mb["num_gt_dropped"])
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-6
+        )
+    # EMA follows params, so it must agree too.
+    for ea, eb in zip(jax.tree.leaves(sa.ema_params),
+                      jax.tree.leaves(sb.ema_params)):
+        np.testing.assert_allclose(
+            np.asarray(ea), np.asarray(eb), rtol=1e-4, atol=1e-6
+        )
+    assert int(sa.step) == int(sb.step) == 1
+
+
+def test_grad_accum_full_model(tiny_setup):
+    """Full detector (train-mode BN) under grad accumulation: the loss
+    agrees with the plain step at the documented BN-chaos tolerance (the
+    remat/DP tests' regime), counts sum to full-batch values, and the
+    running stats took A momentum updates (they must differ from one)."""
+    import dataclasses
+    from multibox_tpu.train import create_train_state, make_train_step
+
+    cfg, model, _, _, batch = tiny_setup
+    dup = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), batch)
+    priors = jnp.asarray(np.sort(
+        np.random.default_rng(0).uniform(0.05, 0.95, (8, 2, 2)).astype(np.float32),
+        axis=1).reshape(8, 4))
+
+    cfg_a = dataclasses.replace(cfg, batch_size=4, grad_accum_steps=2)
+    cfg_b = dataclasses.replace(cfg, batch_size=4)
+    state_a = create_train_state(cfg_a, model, jax.random.PRNGKey(4), 8)
+    state_b = jax.tree.map(jnp.copy, state_a)
+    sa, ma = jax.jit(make_train_step(cfg_a, model, priors))(state_a, dup)
+    sb, mb = jax.jit(make_train_step(cfg_b, model, priors))(state_b, dup)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=2e-2)
+    assert float(ma["num_pos"]) == float(mb["num_pos"])
+    assert int(sa.step) == 1
+    # BN running stats moved (two momentum updates vs one — not equal,
+    # but both must have left their init values).
+    va = jax.tree.leaves(sa.batch_stats)[0]
+    vb = jax.tree.leaves(sb.batch_stats)[0]
+    assert not np.allclose(np.asarray(va), np.asarray(jax.tree.leaves(state_b.batch_stats)[0]))
+    assert np.isfinite(np.asarray(va)).all() and np.isfinite(np.asarray(vb)).all()
+
+
+def test_grad_accum_divisibility_raises(tiny_setup):
+    import dataclasses
+    from multibox_tpu.train import create_train_state, make_train_step
+
+    cfg, model, state, _, batch = tiny_setup  # batch dim 2
+    cfg_a = dataclasses.replace(cfg, grad_accum_steps=3)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        jax.jit(make_train_step(cfg_a, model, jnp.zeros((8, 4))))(state, batch)
