@@ -35,7 +35,7 @@ class Config:
     # slim parity default; lower (e.g. 0.9) for short training runs or the
     # inference-mode BN statistics never leave their init values.
     bn_momentum: float = 0.9997
-    # rematerialize the backbone in the backward pass: trades ~30% more
+    # rematerialize the backbone in the backward pass: trades recompute
     # FLOPs for activation memory — enables much larger per-chip batches.
     remat: bool = False
 
