@@ -22,34 +22,15 @@ Prints one JSON line per arm: {"arm": ..., "ms_per_step": ..., "img_s":
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK_TFLOPS = 197.0  # v5e bf16
-
-
-def _timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
-
-
-def _marginal_step_time(run, n, samples=3):
-    t1s, t3s = [], []
-    for r in range(samples):
-        t1s.append(_timed(lambda: run(2 * r, n)))
-        t3s.append(_timed(lambda: run(2 * r + 1, 3 * n)))
-    slope = (min(t3s) - min(t1s)) / (2 * n)
-    if slope <= 0:
-        slope = min(t3s) / (3 * n)
-    return slope
+from bench import PEAK_TFLOPS, _marginal_step_time  # noqa: E402 (repo root)
 
 
 ARMS = {
