@@ -39,24 +39,52 @@ def _timed(fn):
 
 
 def _marginal_step_time(run, n, samples=3):
-    """Per-step time as the SLOPE between chains of n and 3n steps.
+    """Per-step time as the SLOPE across chains of n, 2n and 3n steps.
 
     The relay charges a large FIXED cost per execution (measured round 3:
     0.8–1.5 s regardless of chain length, drifting with tunnel load), so
-    total/n overstates the device step badly at small n. The n→3n slope
-    cancels the fixed cost. Estimator: interleave ``samples`` runs of each
-    length (so drift hits both), take min PER LENGTH (the least-congested
-    sample of each), then slope of the mins — min-of-pairwise-slopes is
-    optimistically biased under overhead noise (it once read a b32 train
-    step at 10 ms / 54 % MFU, above the forward pass's own efficiency).
-    ``run(k, n)`` must execute an n-step chain on rep-distinct input k."""
-    t1s, t3s = [], []
+    total/n overstates the device step badly at small n. The chain-length
+    slope cancels the fixed cost. This is the canonical BASELINE.md
+    protocol ("min over interleaved chain lengths"): interleave
+    ``samples`` runs of EACH length (so drift hits all lengths equally),
+    take min PER LENGTH (the least-congested sample of each), compute the
+    three pairwise slopes between the per-length mins, and report their
+    MEDIAN. Median-of-pairwise-slopes is robust where min-of-slopes is
+    optimistically biased (it once read a b32 train step at 10 ms / 54 %
+    MFU, above the forward pass's own efficiency) and where a single
+    (n,3n) pair inherits whatever drift slice the round end lands on
+    (BENCH_r01–r04 under-read pinned train rows 10–30 % that way).
+
+    ``run(k, n)`` must execute an n-step chain on rep-distinct input k
+    (distinct bytes per k — the relay memoizes identical executions).
+    Each length is warmed (compiled) here with an out-of-range rep before
+    timing, so callers only need to have built ``run``.
+    """
+    lengths = [n, 2 * n, 3 * n]
+    for i, length in enumerate(lengths):  # compile/warm outside the timing
+        run(10_000 + i, length)
+    totals = {length: [] for length in lengths}
     for r in range(samples):
-        t1s.append(_timed(lambda: run(2 * r, n)))
-        t3s.append(_timed(lambda: run(2 * r + 1, 3 * n)))
-    slope = (min(t3s) - min(t1s)) / (2 * n)
-    if slope <= 0:  # pathological drift: fall back to the long chain
-        slope = min(t3s) / (3 * n)
+        for i, length in enumerate(lengths):
+            k = r * len(lengths) + i
+            totals[length].append(_timed(lambda: run(k, length)))
+    mins = [min(totals[length]) for length in lengths]
+    pair_slopes = sorted(
+        (mins[j] - mins[i]) / (lengths[j] - lengths[i])
+        for i in range(len(lengths))
+        for j in range(i + 1, len(lengths))
+    )
+    slope = pair_slopes[len(pair_slopes) // 2]
+    log(
+        "slope sweep: mins="
+        + ", ".join(f"{length}:{t:.3f}s" for length, t in zip(lengths, mins))
+        + "; pairwise slopes "
+        + ", ".join(f"{s * 1e3:.2f}ms" for s in pair_slopes)
+        + f"; median {slope * 1e3:.2f}ms"
+    )
+    if slope <= 0:  # pathological drift: fall back to the longest chain
+        slope = mins[-1] / lengths[-1]
+        log(f"non-positive slope; falling back to total/n = {slope * 1e3:.2f}ms")
     return slope
 
 
@@ -105,9 +133,6 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
         return acc
 
     f = jax.jit(chained, static_argnums=2)
-    # compile + warm both chain lengths (distinct static n = distinct exe)
-    float(f(variables, images, iters))
-    float(f(variables, images, 3 * iters))
 
     def run(k, n):
         # distinct input per call: no relay call-memoization
@@ -204,8 +229,6 @@ def bench_tpu_detect_int8(batch=32, iters=20, priors_count=256):
         return acc
 
     f = jax.jit(chained, static_argnums=2)
-    float(f(vq, images, iters))
-    float(f(vq, images, 3 * iters))
 
     def run(k, n):
         float(f(vq, images + np.float32(k + 1) * 1e-6, n))
@@ -273,9 +296,6 @@ def bench_tpu_train(batch=32, iters=20, priors_count=256, canvas=343):
 
     dev_batch = fast_device_put(batch_np, jax.devices()[0])
     f = jax.jit(chained, static_argnums=2)
-    # compile + warm both chain lengths
-    float(f(state, dev_batch, iters))
-    float(f(state, dev_batch, 3 * iters))
 
     def run(k, n):
         batch2 = dict(batch_np)

@@ -70,8 +70,7 @@ def check_native_layer() -> Check:
     try:
         from multibox_tpu.data import _native
 
-        lib = _native.load()
-        if lib is None:
+        if not _native.available():
             return ("warn", "native-layer",
                     "libmultibox_native.so not built — tfrecord reads fall "
                     "back to the pure-python path (~186x slower); build with "
@@ -128,7 +127,7 @@ def check_tfrecord_roundtrip() -> Check:
     try:
         from multibox_tpu.data.example_proto import (
             build_detection_example, parse_detection_example)
-        from multibox_tpu.data.tfrecord import read_records, write_records
+        from multibox_tpu.data.tfrecord import TFRecordWriter, read_records
 
         boxes = np.array([[0.1, 0.2, 0.6, 0.8]], np.float32)
         ex = build_detection_example(
@@ -136,7 +135,8 @@ def check_tfrecord_roundtrip() -> Check:
             labels=np.array([1], np.int64), height=4, width=4)
         with tempfile.TemporaryDirectory() as td:
             path = os.path.join(td, "doctor.tfrecord")
-            write_records(path, [ex])
+            with TFRecordWriter(path) as w:
+                w.write(ex)
             recs = list(read_records([path]))
         parsed = parse_detection_example(recs[0])
         if parsed["image_id"] != "doctor" or len(parsed["boxes"]) != 1:

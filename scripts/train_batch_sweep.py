@@ -86,8 +86,6 @@ def bench_arm(name: str, iters: int, priors_count: int = 256,
 
     dev_batch = fast_device_put(batch_np, jax.devices()[0])
     f = jax.jit(chained, static_argnums=2)
-    float(f(state, dev_batch, iters))
-    float(f(state, dev_batch, 3 * iters))
 
     def run(k, n):
         b2 = dict(batch_np)
