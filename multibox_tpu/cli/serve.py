@@ -27,6 +27,11 @@ def main(argv=None) -> int:
                              "batch size)")
     parser.add_argument("--batch_window_ms", type=float, default=40.0,
                         help="how long the batcher waits for stragglers")
+    parser.add_argument("--max_queue_depth", type=int, default=None,
+                        help="admission cap on outstanding requests; "
+                             "beyond it requests get 429 + Retry-After "
+                             "instead of unbounded queueing (default: "
+                             "4 x max_batch; 0 disables)")
     parser.add_argument("--class_names", nargs="+", default=None,
                         help="display names for class ids in responses")
     parser.add_argument("--verbose", action="store_true",
@@ -43,6 +48,7 @@ def main(argv=None) -> int:
         max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
         class_names=args.class_names,
+        max_queue_depth=args.max_queue_depth,
     )
     if args.verbose:
         # restore BaseHTTPRequestHandler's default stderr logging

@@ -25,6 +25,9 @@ Endpoints:
                              boxes returned)
   POST /detect_batch       → JSON {"images": [<base64>, ...]}
 Responses are JSON with normalized [ymin, xmin, ymax, xmax] boxes.
+Overload: beyond ``max_queue_depth`` outstanding requests the daemon sheds
+load with 429 + a Retry-After hint instead of queueing into unbounded p99
+(ServiceOverloaded; measured rationale on the class).
 """
 
 from __future__ import annotations
@@ -39,6 +42,16 @@ from typing import Dict, List, Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+
+class ServiceOverloaded(RuntimeError):
+    """Admission control: outstanding requests are at ``max_queue_depth``.
+
+    Raised by ``submit_async`` BEFORE enqueueing, so saturation degrades
+    flat (clients get an immediate 429 + Retry-After and can back off or
+    be rerouted) instead of every request queueing into seconds of p99
+    (measured round 4, unbounded: c32 throughput FELL below c8 with p50
+    1.6 s, and an 80 ms window pushed p99 to 8.4 s)."""
 
 
 class _Pending:
@@ -65,16 +78,31 @@ class DetectorService:
     # (sub-ms dispatch) lower it toward the largest program's step time.
     DEFAULT_WINDOW_MS = 40.0
 
+    # Admission cap on OUTSTANDING requests (queued + in the group being
+    # executed). Worst-case added latency at the cap is roughly
+    # ceil(depth / max_batch) device dispatches; 4 batches' worth keeps
+    # the daemon pipelined (the batcher always finds a full group waiting)
+    # while bounding p99 at a few dispatch times instead of the unbounded
+    # 8.4 s measured round 4. Re-measured in BASELINE.md "Serving daemon:
+    # overload"; 0/None disables (the pre-round-5 behavior).
+    DEFAULT_MAX_QUEUE_FACTOR = 4  # default depth = factor * max_batch
+
     def __init__(self, detector, max_batch: int = None,
                  batch_window_ms: float = DEFAULT_WINDOW_MS,
-                 warmup: bool = True):
+                 warmup: bool = True, max_queue_depth: Optional[int] = None):
         self.detector = detector
         sizes = sorted(detector.calls) or [detector.batch_size]
         self.max_batch = max_batch or max(sizes)
         self.batch_window_s = batch_window_ms / 1e3
         self.input_size = detector.input_size
+        if max_queue_depth is None:
+            max_queue_depth = self.DEFAULT_MAX_QUEUE_FACTOR * self.max_batch
+        self.max_queue_depth = max_queue_depth  # 0 = unbounded
+        self._outstanding = 0
+        self._adm_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
-        self.stats = {"requests": 0, "device_batches": 0, "images": 0}
+        self.stats = {"requests": 0, "device_batches": 0, "images": 0,
+                      "rejected": 0}
         self._closed = False
         self._warmup = warmup
         self.ready = threading.Event()  # set once warmup compiles finish
@@ -90,11 +118,28 @@ class DetectorService:
         """Enqueue one preprocessed ``[S, S, 3]`` float32 image; the caller
         waits on the returned pending's event (``wait``). Submitting a
         whole request's images BEFORE waiting lets the batcher coalesce
-        them into one device call."""
+        them into one device call.
+
+        Raises ``ServiceOverloaded`` (HTTP 429 at the daemon surface) when
+        ``max_queue_depth`` requests are already outstanding."""
+        with self._adm_lock:
+            if self.max_queue_depth and self._outstanding >= self.max_queue_depth:
+                self.stats["rejected"] += 1
+                raise ServiceOverloaded(
+                    f"{self._outstanding} requests outstanding (cap "
+                    f"max_queue_depth={self.max_queue_depth})"
+                )
+            self._outstanding += 1
         p = _Pending(image)
         self.stats["requests"] += 1
         self._q.put(p)
         return p
+
+    @property
+    def queue_depth(self) -> int:
+        """Outstanding requests right now (queued + executing group)."""
+        with self._adm_lock:
+            return self._outstanding
 
     @staticmethod
     def wait(p: _Pending, timeout: float = 60.0):
@@ -156,6 +201,8 @@ class DetectorService:
             finally:
                 for p in group:
                     p.event.set()
+                with self._adm_lock:
+                    self._outstanding -= len(group)
 
 
 def _decode_request_image(data: bytes, input_size: int) -> np.ndarray:
@@ -185,14 +232,16 @@ def _detections_json(result: Dict[str, np.ndarray], threshold: float,
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
                 max_batch: int = None,
                 batch_window_ms: float = DetectorService.DEFAULT_WINDOW_MS,
-                class_names: List[str] = None) -> ThreadingHTTPServer:
+                class_names: List[str] = None,
+                max_queue_depth: Optional[int] = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server — tests drive it in-process
     via ``serve_forever`` on a thread."""
     from multibox_tpu.serving import load_exported
 
     detector = load_exported(export_dir)
     service = DetectorService(
-        detector, max_batch=max_batch, batch_window_ms=batch_window_ms
+        detector, max_batch=max_batch, batch_window_ms=batch_window_ms,
+        max_queue_depth=max_queue_depth,
     )
     default_threshold = float(
         getattr(detector.config, "detect_score_threshold", 0.01)
@@ -211,11 +260,13 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
         def log_message(self, fmt, *args):
             pass
 
-        def _send(self, code: int, payload: Dict):
+        def _send(self, code: int, payload: Dict, headers: Dict = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -237,7 +288,9 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
                     "num_priors": int(detector.priors.shape[0]),
                 })
             elif path == "/stats":
-                self._send(200, dict(service.stats))
+                self._send(200, {**service.stats,
+                                 "queue_depth": service.queue_depth,
+                                 "max_queue_depth": service.max_queue_depth})
             else:
                 self._send(404, {"error": f"unknown path {path}"})
 
@@ -277,6 +330,18 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8000,
                     })
                 else:
                     self._send(404, {"error": f"unknown path {path}"})
+            except ServiceOverloaded as e:
+                # admission control: shed load NOW with a backoff hint
+                # sized to one drain of the queue (depth/max_batch
+                # dispatches, each ~window + a step) rather than queue
+                # into unbounded latency. Not a client error and not a
+                # dead server: 429.
+                retry_s = max(
+                    1, round(service.max_queue_depth / service.max_batch
+                             * (service.batch_window_s + 0.05))
+                )
+                self._send(429, {"error": str(e)},
+                           headers={"Retry-After": str(retry_s)})
             except TimeoutError as e:
                 # server-side condition (device worker overloaded/stalled),
                 # not a bad request — clients/load balancers may retry

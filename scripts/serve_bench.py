@@ -50,12 +50,13 @@ def drive(port: int, payloads, concurrency: int, requests_per_client: int):
     skew the percentiles of everything that follows."""
     lat = []
     errors = []
+    shed = [0]  # 429s: intentional load shedding, not failures
     lock = threading.Lock()
     barrier = threading.Barrier(concurrency + 1)
 
     def client(tid: int):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
-        mine, mine_err = [], []
+        mine, mine_err, mine_shed = [], [], 0
         barrier.wait()
         for i in range(requests_per_client):
             body = payloads[(tid + i) % len(payloads)]
@@ -67,6 +68,13 @@ def drive(port: int, payloads, concurrency: int, requests_per_client: int):
                 )
                 resp = conn.getresponse()
                 data = resp.read()
+                if resp.status == 429:
+                    # admission control: honor the hint (a real client
+                    # backs off; sleeping also keeps the closed loop from
+                    # hammering the reject path at line rate)
+                    mine_shed += 1
+                    time.sleep(float(resp.headers.get("Retry-After", 1)))
+                    continue
                 if resp.status != 200:
                     raise RuntimeError(f"HTTP {resp.status}: {data[:120]}")
                 mine.append(time.monotonic() - t0)
@@ -80,6 +88,7 @@ def drive(port: int, payloads, concurrency: int, requests_per_client: int):
         with lock:
             lat.extend(mine)
             errors.extend(mine_err)
+            shed[0] += mine_shed
 
     threads = [
         threading.Thread(target=client, args=(t,)) for t in range(concurrency)
@@ -91,15 +100,16 @@ def drive(port: int, payloads, concurrency: int, requests_per_client: int):
     for t in threads:
         t.join()
     wall = time.monotonic() - t0
-    return lat, wall, errors
+    return lat, wall, errors, shed[0]
 
 
 def run_config(export_dir, label, max_batch, window_ms, concurrencies,
-               requests, input_size):
+               requests, input_size, max_queue_depth=None):
     from multibox_tpu.serve import make_server
 
     server = make_server(
-        export_dir, port=0, max_batch=max_batch, batch_window_ms=window_ms
+        export_dir, port=0, max_batch=max_batch, batch_window_ms=window_ms,
+        max_queue_depth=max_queue_depth,
     )
     port = server.server_address[1]
     st = threading.Thread(target=server.serve_forever, daemon=True)
@@ -116,7 +126,7 @@ def run_config(export_dir, label, max_batch, window_ms, concurrencies,
         drive(port, payloads, 2, 3)
         for conc in concurrencies:
             stats0 = dict(server.service.stats)
-            lat, wall, errors = drive(port, payloads, conc, requests)
+            lat, wall, errors, shed = drive(port, payloads, conc, requests)
             stats1 = dict(server.service.stats)
             n = len(lat)
             if n == 0:  # an all-error run must not crash the sweep
@@ -128,6 +138,7 @@ def run_config(export_dir, label, max_batch, window_ms, concurrencies,
                 "config": label,
                 "max_batch": max_batch,
                 "batch_window_ms": window_ms,
+                "max_queue_depth": server.service.max_queue_depth,
                 "concurrency": conc,
                 "requests": n,
                 "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
@@ -135,6 +146,7 @@ def run_config(export_dir, label, max_batch, window_ms, concurrencies,
                 "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
                 "throughput_rps": round(n / wall, 1),
                 "errors": len(errors),
+                "shed_429": shed,
                 "device_batches": stats1["device_batches"]
                 - stats0["device_batches"],
                 "imgs_per_device_batch": round(
@@ -162,6 +174,11 @@ def main():
                     help="requests per client")
     ap.add_argument("--windows", type=float, nargs="+", default=[5.0])
     ap.add_argument("--input_size", type=int, default=299)
+    ap.add_argument("--max_queue_depths", type=int, nargs="+", default=[None],
+                    help="admission-control arms per window: None = the "
+                         "4*max_batch default, 0 = unbounded (pre-round-5)")
+    ap.add_argument("--skip_unbatched", action="store_true",
+                    help="skip the max_batch_1 control arm")
     args = ap.parse_args()
 
     from multibox_tpu.cli.common import setup_jax_cache
@@ -169,16 +186,21 @@ def main():
     setup_jax_cache()
 
     all_rows = []
-    # Batched daemon at each window, then the no-batching arm.
+    # Batched daemon at each window x admission depth, then no-batching.
     for w in args.windows:
+        for depth in args.max_queue_depths:
+            label = f"batched_w{w:g}" + (
+                "" if depth is None else f"_q{depth}")
+            all_rows += run_config(
+                args.export_dir, label, None, w,
+                args.concurrency, args.requests, args.input_size,
+                max_queue_depth=depth,
+            )
+    if not args.skip_unbatched:
         all_rows += run_config(
-            args.export_dir, f"batched_w{w:g}", None, w,
+            args.export_dir, "max_batch_1", 1, 0.0,
             args.concurrency, args.requests, args.input_size,
         )
-    all_rows += run_config(
-        args.export_dir, "max_batch_1", 1, 0.0,
-        args.concurrency, args.requests, args.input_size,
-    )
     print(json.dumps({"summary": all_rows}, indent=1))
 
 

@@ -178,6 +178,114 @@ def test_unknown_path_404(server):
     assert status == 404
 
 
+class _SlowStubDetector:
+    """Stands in for an ExportedDetector: holds the worker busy for
+    ``delay`` seconds per dispatch so admission control is observable."""
+
+    batch_size = 4
+    input_size = 8
+    calls = [4]
+
+    def __init__(self, delay=0.15):
+        self.delay = delay
+
+    def warmup(self):
+        pass
+
+    def __call__(self, batch):
+        import time
+
+        time.sleep(self.delay)
+        n = len(batch)
+        return {
+            "num": np.ones((n,), np.int32),
+            "scores": np.full((n, 5), 0.9, np.float32),
+            "boxes": np.tile([0.1, 0.1, 0.6, 0.6], (n, 5, 1)).astype(np.float32),
+            "classes": np.zeros((n, 5), np.int32),
+        }
+
+
+def test_service_admission_control_rejects_then_recovers():
+    from multibox_tpu.serve import DetectorService, ServiceOverloaded
+
+    svc = DetectorService(_SlowStubDetector(delay=0.3), max_batch=4,
+                          batch_window_ms=400.0, max_queue_depth=2)
+    try:
+        img = np.zeros((8, 8, 3), np.float32)
+        p1 = svc.submit_async(img)
+        p2 = svc.submit_async(img)
+        # depth cap reached: the third caller is shed immediately
+        with pytest.raises(ServiceOverloaded):
+            svc.submit_async(img)
+        assert svc.stats["rejected"] == 1
+        assert svc.queue_depth == 2
+        # the admitted requests complete normally...
+        assert svc.wait(p1, timeout=10)["num"] == 1
+        assert svc.wait(p2, timeout=10)["num"] == 1
+        # ...and once drained, admission reopens
+        assert svc.queue_depth == 0
+        p3 = svc.submit_async(img)
+        assert svc.wait(p3, timeout=10)["num"] == 1
+        assert svc.stats["rejected"] == 1  # no spurious rejects
+    finally:
+        svc.close()
+
+
+def test_service_default_depth_and_unbounded_optout():
+    from multibox_tpu.serve import DetectorService
+
+    svc = DetectorService(_SlowStubDetector(), max_batch=4, warmup=False)
+    try:
+        assert svc.max_queue_depth == 4 * DetectorService.DEFAULT_MAX_QUEUE_FACTOR
+    finally:
+        svc.close()
+    svc = DetectorService(_SlowStubDetector(delay=0.0), max_batch=4,
+                          warmup=False, max_queue_depth=0)
+    try:
+        img = np.zeros((8, 8, 3), np.float32)
+        # 0 = unbounded (pre-round-5 behavior): far past any cap, no reject
+        pendings = [svc.submit_async(img) for _ in range(64)]
+        for p in pendings:
+            svc.wait(p, timeout=10)
+        assert svc.stats["rejected"] == 0
+    finally:
+        svc.close()
+
+
+def test_http_429_with_retry_after_under_overload(server):
+    srv, base = server
+    assert srv.service.ready.wait(120)
+    svc = srv.service
+    old_depth = svc.max_queue_depth
+    # deterministic fault injection: saturate admission so the next HTTP
+    # request is shed (no timing races — the real saturation mechanics are
+    # pinned by test_service_admission_control_rejects_then_recovers)
+    svc.max_queue_depth = 1
+    with svc._adm_lock:
+        svc._outstanding += 1
+    try:
+        req = urllib.request.Request(base + "/detect", data=_jpeg_bytes())
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        err = exc_info.value
+        assert err.code == 429
+        assert int(err.headers["Retry-After"]) >= 1
+        assert "max_queue_depth" in json.loads(err.read())["error"]
+        status, stats = _get(base + "/stats")
+        assert status == 200 and stats["rejected"] >= 1
+        assert stats["max_queue_depth"] == 1
+        # shedding load must not mark the daemon unhealthy
+        status, body = _get(base + "/healthz")
+        assert status == 200 and body["status"] == "ok"
+    finally:
+        with svc._adm_lock:
+            svc._outstanding -= 1
+        svc.max_queue_depth = old_depth
+    # back under the cap: requests flow again
+    status, body = _post(base + "/detect?threshold=0.0", _jpeg_bytes())
+    assert status == 200 and len(body["boxes"]) > 0
+
+
 def test_deterministic_vs_direct_call(server, export_dir):
     """The daemon must return exactly what the exported detector returns."""
     _, base = server
