@@ -92,11 +92,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
+def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True,
+                     backbone="inception_v3", input_size=299,
+                     fallback_gflop_per_img=11.4):
     """Device-side chained timing: N data-dependent detect steps inside ONE
     jitted program, one host sync. Immune to (a) the remote runtime
     memoizing repeated identical calls and (b) the ~30ms D2H round-trip
-    that dominates per-call sync through the tunnel."""
+    that dominates per-call sync through the tunnel.
+
+    ``backbone``/``input_size`` select the model family — the MobileNetV2
+    arms use (mobilenet_v2, 224), matching configs/mobilenet_edge.yaml."""
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +110,8 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
     from multibox_tpu.inference import build_model, make_detect_body
 
     log("devices:", jax.devices())
-    cfg = Config(num_priors=priors_count, max_detections=100)
+    cfg = Config(num_priors=priors_count, max_detections=100,
+                 backbone=backbone, input_size=input_size)
     rng = np.random.default_rng(0)
     priors_np = np.sort(
         rng.uniform(0, 1, (priors_count, 2, 2)).astype(np.float32), axis=1
@@ -116,7 +122,9 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
     # production detect body (auto routing: XLA convs/head + Pallas NMS).
     model = build_model(cfg, priors_count)
     images = jnp.asarray(
-        rng.uniform(-1, 1, (batch, 299, 299, 3)).astype(np.float32)
+        rng.uniform(-1, 1, (batch, input_size, input_size, 3)).astype(
+            np.float32
+        )
     )
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), images[:1]))()
     detect_body = make_detect_body(cfg, priors, use_ema=False)
@@ -154,8 +162,9 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
     except Exception as e:  # cost analysis may be unsupported on a backend
         log("cost_analysis unavailable:", e)
     if flops_per_batch is None:
-        # Analytic fallback: Inception-v3 fwd ≈ 5.7 GMAC/img = 11.4 GFLOP.
-        flops_per_batch = 11.4e9 * batch
+        # Analytic fallback (Inception-v3 fwd ≈ 11.4 GFLOP/img at 299²;
+        # MobileNetV2 ≈ 0.6 GFLOP/img at 224²).
+        flops_per_batch = fallback_gflop_per_img * 1e9 * batch
         log("using analytic FLOPs fallback")
     tflops = flops_per_batch / per / 1e12
     mfu = tflops / PEAK_TFLOPS
@@ -184,7 +193,8 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True):
     return ips, p50, tflops, mfu
 
 
-def bench_tpu_detect_int8(batch=32, iters=20, priors_count=256):
+def bench_tpu_detect_int8(batch=32, iters=20, priors_count=256,
+                          backbone="inception_v3", input_size=299):
     """Secondary metric: the int8 PTQ detect path (cfg.quantize="int8" —
     per-channel int8 weights, calibrated activations, MXU int8 convs).
     Same chained slope harness as the headline; reported as extra JSON
@@ -197,9 +207,11 @@ def bench_tpu_detect_int8(batch=32, iters=20, priors_count=256):
     from multibox_tpu.inference import build_model, make_detect_body
     from multibox_tpu.quantize import prepare_quantized_variables
 
-    cfg = Config(num_priors=priors_count, max_detections=100)
+    cfg = Config(num_priors=priors_count, max_detections=100,
+                 backbone=backbone, input_size=input_size)
     qcfg = Config(
-        num_priors=priors_count, max_detections=100, quantize="int8"
+        num_priors=priors_count, max_detections=100, quantize="int8",
+        backbone=backbone, input_size=input_size,
     )
     rng = np.random.default_rng(0)
     priors = jnp.asarray(
@@ -209,12 +221,16 @@ def bench_tpu_detect_int8(batch=32, iters=20, priors_count=256):
     )
     model = build_model(cfg, priors_count)
     images = jnp.asarray(
-        rng.uniform(-1, 1, (batch, 299, 299, 3)).astype(np.float32)
+        rng.uniform(-1, 1, (batch, input_size, input_size, 3)).astype(
+            np.float32
+        )
     )
     variables = dict(
         jax.jit(lambda: model.init(jax.random.PRNGKey(0), images[:1]))()
     )
-    calib = [rng.integers(0, 255, (8, 299, 299, 3)).astype(np.uint8)]
+    calib = [rng.integers(0, 255, (8, input_size, input_size, 3)).astype(
+        np.uint8
+    )]
     vq = prepare_quantized_variables(qcfg, variables, calib)
     body = make_detect_body(qcfg, priors)
 
@@ -299,7 +315,9 @@ def bench_tpu_train(batch=32, iters=20, priors_count=256, canvas=343):
 
     def run(k, n):
         batch2 = dict(batch_np)
-        batch2["images"] = batch_np["images"] ^ (k + 1)  # distinct bytes
+        # distinct nonzero uint8 mask per rep (k may exceed 255 — the
+        # estimator's warmup reps are out-of-range by design)
+        batch2["images"] = batch_np["images"] ^ np.uint8((k % 255) + 1)
         dev_batch2 = fast_device_put(batch2, jax.devices()[0])
         float(f(state, dev_batch2, n))
 
@@ -442,6 +460,32 @@ def main():
             )
         except Exception as e:  # train bench must never sink the headline
             log("train bench failed:", e)
+    if os.environ.get("BENCH_SKIP_MOBILENET", "0") != "1":
+        try:
+            # Edge/latency backbone rows (configs/mobilenet_edge.yaml:
+            # MobileNetV2 @224, 128 priors) — the framework's second model
+            # family must carry pinned chip numbers, not promises.
+            m_ips, m_p50, m_tf, m_mfu = bench_tpu_detect(
+                batch=batch, iters=10, priors_count=128,
+                backbone="mobilenet_v2", input_size=224,
+                fallback_gflop_per_img=0.6,
+            )
+            extras.update(
+                mobilenet_detect_img_per_sec=round(m_ips, 1),
+                mobilenet_detect_p50_ms=round(m_p50, 2),
+                mobilenet_detect_tflops=round(m_tf, 2),
+                mobilenet_detect_mfu=round(m_mfu, 4),
+            )
+            mq_ips, mq_ms = bench_tpu_detect_int8(
+                batch=batch, iters=10, priors_count=128,
+                backbone="mobilenet_v2", input_size=224,
+            )
+            extras.update(
+                mobilenet_int8_img_per_sec=round(mq_ips, 1),
+                mobilenet_int8_step_ms=round(mq_ms, 2),
+            )
+        except Exception as e:  # secondary metric must never sink the headline
+            log("mobilenet bench failed:", e)
     tf_ips = bench_tf_cpu(batch=batch)
     vs = (tpu_ips / tf_ips) if tf_ips else None
     log(f"p50_latency_ms={p50}")

@@ -36,7 +36,9 @@ class Config:
     # inference-mode BN statistics never leave their init values.
     bn_momentum: float = 0.9997
     # rematerialize the backbone in the backward pass: trades recompute
-    # FLOPs for activation memory — enables much larger per-chip batches.
+    # FLOPs for activation memory. Measured on the v5e (BASELINE.md
+    # "Large-batch training sweep"): +19.7 % step time at b128, and net
+    # FASTER at b256 where it relieves HBM pressure.
     remat: bool = False
 
     # --- training ---
@@ -45,7 +47,9 @@ class Config:
     # average their gradients, and apply the optimizer ONCE — the effective
     # batch stays batch_size while activation memory scales with
     # batch_size/grad_accum_steps (compose with `remat` for the largest
-    # effective batches). batch_size must be divisible by it. BN caveat
+    # effective batches). Measured (BASELINE.md sweep): effective b256 as
+    # accum2×b128 costs +7.2 % over two plain b128 steps and beats the
+    # plain b256 program by 22 %. batch_size must be divisible by it. BN caveat
     # (standard for grad accumulation): train-mode BN normalizes over each
     # MICRObatch, and the running stats take grad_accum_steps momentum
     # updates per optimizer step.

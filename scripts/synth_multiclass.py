@@ -118,10 +118,11 @@ def make_image(rng, canvas: int, num_classes: int = 3):
 
 
 def write_split(path: str, n: int, canvas: int, rng, prefix: str,
-                num_classes: int = 3) -> None:
+                num_classes: int = 3, label_base: int = 0) -> None:
     with TFRecordWriter(path) as w:
         for i in range(n):
             img, boxes, labels = make_image(rng, canvas, num_classes)
+            labels = [lab + label_base for lab in labels]
             w.write(
                 build_detection_example(
                     encode_jpeg(img, quality=90),
@@ -145,16 +146,23 @@ def main(argv=None) -> int:
     p.add_argument("--num_classes", type=int, default=3,
                    help="3 = legacy pinned classes; otherwise a "
                         "(shape x hue) stress class space")
+    p.add_argument("--label_base", type=int, default=0,
+                   help="added to every written label: 1 emits COCO-style "
+                        "1-based category ids so a config with "
+                        "label_offset: 1 (e.g. coco_dp.yaml) runs as "
+                        "shipped")
     args = p.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     write_split(
         os.path.join(args.output_dir, "train.tfrecord"),
         args.train, args.canvas, rng, "tr", args.num_classes,
+        args.label_base,
     )
     write_split(
         os.path.join(args.output_dir, "val.tfrecord"),
         args.val, args.canvas, rng, "va", args.num_classes,
+        args.label_base,
     )
     print(f"wrote {args.train} train + {args.val} val to {args.output_dir}")
     return 0

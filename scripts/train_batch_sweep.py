@@ -89,7 +89,8 @@ def bench_arm(name: str, iters: int, priors_count: int = 256,
 
     def run(k, n):
         b2 = dict(batch_np)
-        b2["images"] = batch_np["images"] ^ (k + 1)
+        # nonzero uint8 mask; k may exceed 255 (estimator warmup reps)
+        b2["images"] = batch_np["images"] ^ np.uint8((k % 255) + 1)
         db2 = fast_device_put(b2, jax.devices()[0])
         float(f(state, db2, n))
 
