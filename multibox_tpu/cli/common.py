@@ -38,6 +38,45 @@ def apply_platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    _relax_cpu_collective_deadline(plat)
+
+
+def _relax_cpu_collective_deadline(plat) -> None:
+    """Raise XLA:CPU's hard collective-rendezvous deadline on forced-CPU
+    runs (``MULTIBOX_JAX_PLATFORM=cpu`` or an
+    ``xla_force_host_platform_device_count`` mesh).
+
+    XLA:CPU aborts the whole process 40 s after the first participant of a
+    cross-module collective arrives ("Termination timeout ... exceeded.
+    Exiting to ensure a consistent program state"). On an oversubscribed
+    host the N virtual devices of a fake mesh execute nearly serially, so
+    any SPMD program whose per-device compute runs tens of seconds — e.g.
+    configs/coco_dp.yaml's b256 Inception step on this container's 1-core
+    host (measured twice, round 5) — legitimately staggers its all-gather
+    arrivals past 40 s and gets killed mid-step. The deadline exists to
+    catch deadlocks, not slow hosts; bound runaway demos with an outer
+    ``timeout`` instead. User-provided values in ``XLA_FLAGS`` win;
+    ``MULTIBOX_CPU_COLLECTIVE_TIMEOUT_S`` tunes the default (1800 s).
+
+    Must run before the first compilation: XLA parses ``XLA_FLAGS`` once,
+    lazily, at the first DebugOptions access (CLI mains call this before
+    any backend use)."""
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    cpu_forced = (
+        plat == "cpu"
+        or "xla_force_host_platform_device_count" in xla_flags
+    )
+    if not cpu_forced or "xla_cpu_collective_call" in xla_flags:
+        return
+    timeout_s = int(os.environ.get("MULTIBOX_CPU_COLLECTIVE_TIMEOUT_S", "1800"))
+    # (the matching warn_stuck flag exists in DebugOptions but is NOT
+    # registered with this jaxlib's XLA_FLAGS parser — passing it aborts
+    # the process with "Unknown flag"; the 20 s stuck-warning log lines
+    # are harmless, only the terminate deadline matters)
+    os.environ["XLA_FLAGS"] = (
+        xla_flags
+        + f" --xla_cpu_collective_call_terminate_timeout_seconds={timeout_s}"
+    ).strip()
 
 
 def setup_jax_cache() -> None:

@@ -17,13 +17,29 @@ import orbax.checkpoint as ocp
 class CheckpointManager:
     """Thin wrapper over orbax CheckpointManager for TrainState pytrees."""
 
-    def __init__(self, directory: str, keep: int = 3, save_every: int = 1000):
+    def __init__(self, directory: str, keep: int = 3, save_every: int = 1000,
+                 async_save: Optional[bool] = None):
+        """``async_save=None`` resolves by backend: async on an accelerator
+        (the D2H/write overlap hides checkpoint cost behind training), but
+        SYNCHRONOUS on the CPU backend. On a fake-multi-device CPU mesh the
+        async save's D2H of the full state races the next program's
+        collectives for the same oversubscribed cores, and XLA:CPU's
+        collective rendezvous has a hard 40 s termination deadline — a
+        measured b256/8-device run on a 1-core host died exactly there
+        (`AllGatherThunk ... Termination timeout of 40 seconds exceeded`).
+        Synchronous saves serialize the two phases and cost nothing on CPU,
+        where there is no throughput to protect."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        if async_save is None:
+            import jax
+
+            async_save = jax.default_backend() != "cpu"
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, save_interval_steps=save_every
+                max_to_keep=keep, save_interval_steps=save_every,
+                enable_async_checkpointing=bool(async_save),
             ),
         )
 
