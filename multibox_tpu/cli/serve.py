@@ -31,7 +31,7 @@ def main(argv=None) -> int:
                         help="admission cap on outstanding requests; "
                              "beyond it requests get 429 + Retry-After "
                              "instead of unbounded queueing (default: "
-                             "4 x max_batch; 0 disables)")
+                             "2 x max_batch, measured — BASELINE.md; 0 disables)")
     parser.add_argument("--class_names", nargs="+", default=None,
                         help="display names for class ids in responses")
     parser.add_argument("--verbose", action="store_true",

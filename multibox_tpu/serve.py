@@ -79,13 +79,17 @@ class DetectorService:
     DEFAULT_WINDOW_MS = 40.0
 
     # Admission cap on OUTSTANDING requests (queued + in the group being
-    # executed). Worst-case added latency at the cap is roughly
-    # ceil(depth / max_batch) device dispatches; 4 batches' worth keeps
-    # the daemon pipelined (the batcher always finds a full group waiting)
-    # while bounding p99 at a few dispatch times instead of the unbounded
-    # 8.4 s measured round 4. Re-measured in BASELINE.md "Serving daemon:
-    # overload"; 0/None disables (the pre-round-5 behavior).
-    DEFAULT_MAX_QUEUE_FACTOR = 4  # default depth = factor * max_batch
+    # executed). MEASURED (BASELINE.md "Serving under overload", round-5
+    # chip sweep): admitted-request p99 tracks depth/service_rate almost
+    # exactly (depth 16 → 1.39 s, 32 → 1.65 s, 64 → 1.90 s at ~20–28 rps),
+    # so pick depth ≈ service_rate × target_p99. Two batches' worth keeps
+    # the batcher pipelined AND held p99 under 2 s at c64 with goodput
+    # within noise of unbounded (44.8 vs 46.8 rps); the original factor-4
+    # guess (=128) never engaged in any measured arm — identical to
+    # unbounded at c32. During a transient stall (relay recompile), a
+    # bounded queue answers 429 + Retry-After instead of cascading into
+    # worker-timeout 503s. 0/None disables (the pre-round-5 behavior).
+    DEFAULT_MAX_QUEUE_FACTOR = 2  # default depth = factor * max_batch
 
     def __init__(self, detector, max_batch: int = None,
                  batch_window_ms: float = DEFAULT_WINDOW_MS,

@@ -51,7 +51,16 @@ class ExportedDetector:
             dummy = jnp.zeros(
                 (size, self.input_size, self.input_size, 3), jnp.float32
             )
-            jax.block_until_ready(self.calls[size](dummy))
+            out = self.calls[size](dummy)
+            # Force a REAL device round-trip: block_until_ready does NOT
+            # sync through the axon relay (CLAUDE.md hard-won finding) —
+            # it returned while the first execution was still in flight,
+            # so `ready` fired early and the first request group still ate
+            # the compile stall (measured round 5: first-arm 503 cascades
+            # in every fresh serve process). An explicit D2H of every
+            # output leaf is the only sync that holds on this link.
+            for leaf in jax.tree.leaves(out):
+                np.asarray(leaf)
 
     def __call__(self, images) -> Dict[str, np.ndarray]:
         """Run detection on ``[B, S, S, 3]`` float32 images in [-1, 1].
