@@ -179,7 +179,10 @@ def bench_tpu_detect(batch=32, iters=30, priors_count=256, latency=True,
         return ips, None, tflops, mfu
     one = images[:1]
     detect_one = jax.jit(detect_body)
-    jax.block_until_ready(detect_one(variables, one))
+    # warm with a REAL sync — block_until_ready does not sync through the
+    # relay (CLAUDE.md), so it left the compile in flight and polluted the
+    # first latency sample (median-of-30 hid it, but be honest)
+    float(detect_one(variables, one)["num"].sum())
     lat = []
     for i in range(30):
         # vary input to defeat call memoization
