@@ -191,3 +191,48 @@ def test_reexport_removes_stale_batch_siblings(export_dir, tmp_path):
     assert not os.path.exists(os.path.join(out_dir, "detect_b4.stablehlo.bin"))
     det = load_exported(out_dir)
     assert sorted(det.calls) == [2]
+
+
+def test_warmup_materializes_every_output_leaf():
+    """warmup() must force a HOST materialization of each program's outputs.
+
+    jax.block_until_ready does not sync through this container's device
+    relay (CLAUDE.md): round 5 measured the daemon's ready event firing
+    while the first execution was still in flight, so the first request
+    group ate the compile stall as a 503 cascade. The guarantee that holds
+    on every link is an explicit D2H per output leaf (np.asarray); this
+    pins that warmup performs it — a lazy leaf records whether anything
+    ever asked for its host value."""
+    from multibox_tpu.serving import ExportedDetector
+
+    class _LazyLeaf:
+        def __init__(self):
+            self.materialized = False
+
+        def __array__(self, dtype=None, copy=None):
+            self.materialized = True
+            return np.zeros((1,), np.float32)
+
+    leaves = {}
+
+    def make_call(size):
+        def call(x):
+            assert x.shape[0] == size
+            leaves[size] = [_LazyLeaf(), _LazyLeaf()]
+            return {"boxes": leaves[size][0], "scores": leaves[size][1]}
+
+        return call
+
+    det = ExportedDetector(
+        detect=lambda x: None, config=None,
+        priors=np.zeros((4, 4), np.float32), batch_size=8, input_size=16,
+        calls={8: make_call(8), 2: make_call(2)},
+    )
+    det.warmup()
+    assert sorted(leaves) == [2, 8]  # every exported program executed
+    for size, pair in leaves.items():
+        for leaf in pair:
+            assert leaf.materialized, (
+                f"warmup returned without host-materializing an output "
+                f"leaf of the batch-{size} program"
+            )
